@@ -1,0 +1,85 @@
+"""spark-submit entry point: generate (optional) + validate + report.
+
+Usage (north_rule launch shape):
+  zip -r engine.zip lk_data_test_spark
+  spark-submit --master local[32] --py-files engine.zip \
+      lk_data_test_spark/cli.py --data-dir /tmp/corpus --generate \
+      --parts 16 --rows-per-part 2000
+
+Prints one JSON line with per-rule verdict counts, throughput, and the
+skipped/ran partition split (resume evidence), plus a human-readable
+verdict table on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--generate", action="store_true")
+    ap.add_argument("--parts", type=int, default=16)
+    ap.add_argument("--rows-per-part", type=int, default=2000)
+    ap.add_argument("--cores", default=None)
+    ap.add_argument("--force", action="store_true", help="ignore checkpoint")
+    args = ap.parse_args(argv)
+
+    from lk_data_test_spark.datagen import GenConfig, generate
+    from lk_data_test_spark.plans.runner import ValidationRunner
+    from lk_data_test_spark.session import get_spark
+    from lk_data_test_spark.sources.catalog import PartitionedTable
+
+    spark = get_spark("lk-validate-cli", cores=args.cores)
+
+    cfg = GenConfig(n_parts=args.parts, rows_per_part=args.rows_per_part)
+    seq_path = os.path.join(args.data_dir, "sequences")
+    if args.generate and not os.path.exists(seq_path):
+        t0 = time.time()
+        generate(spark, args.data_dir, cfg)
+        print(f"generated corpus in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    runner = ValidationRunner(
+        spark,
+        PartitionedTable(seq_path),
+        allowed_sources=spark.read.parquet(
+            os.path.join(args.data_dir, "allowed_sources")
+        ),
+        reference_profiles=spark.read.parquet(
+            os.path.join(args.data_dir, "reference_profiles")
+        ),
+        output_dir=os.path.join(args.data_dir, "validation_out"),
+    )
+    t0 = time.time()
+    res = runner.run(force=args.force)
+    elapsed = time.time() - t0
+
+    for v in sorted(res.verdicts, key=lambda v: (v["rule_id"], v["part_id"])):
+        print(
+            f"  part={v['part_id']:>4} rule={v['rule_id']:<14} "
+            f"{'PASS' if v['passed'] else 'FAIL'} metric={v['metric']:.4f}",
+            file=sys.stderr,
+        )
+    n_viol = res.violations.count()
+    summary = {
+        "ran_parts": len(res.ran_parts),
+        "skipped_parts": len(res.skipped_parts),
+        "rows_validated": res.rows_validated,
+        "violations": n_viol,
+        "failed_partitions": sorted(
+            {v["part_id"] for v in res.verdicts if not v["passed"]}
+        ),
+        "elapsed_sec": round(elapsed, 2),
+        "sequences_per_sec": round(res.rows_validated / elapsed, 1) if elapsed else 0,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""Suite runner: one Spark job over all pending partitions, per rule.
+
+NOT a per-partition loop — each rule is a single declarative plan grouped by
+``part_id``, so Catalyst/AQE schedule all partitions in one pass (the driver
+only touches the tiny verdict rows). Pending partitions are selected by the
+checkpoint manifest and pushed into the scan as a partition-pruning filter.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import PartitionedTable
+from .manifest import CheckpointManifest
+from .rules import (
+    Rule,
+    RuleContext,
+    canonical_violations,
+    default_rules,
+)
+
+
+@dataclass
+class SuiteResult:
+    verdicts: list[dict]          # materialized (tiny: n_parts x n_rules)
+    violations: DataFrame         # canonical-ordered, lazy
+    ran_parts: list[int]
+    skipped_parts: list[int]
+    rows_validated: int = 0
+    extras: dict = field(default_factory=dict)
+
+
+class ValidationRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: PartitionedTable,
+        allowed_sources: DataFrame,
+        reference_profiles: DataFrame,
+        rules: list[Rule] | None = None,
+        manifest_path: str | None = None,
+        output_dir: str | None = None,
+        params: dict | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.rules = rules if rules is not None else default_rules()
+        self.allowed_sources = allowed_sources
+        self.reference_profiles = reference_profiles
+        self.manifest = CheckpointManifest(
+            manifest_path or os.path.join(table.path, "_manifest", "manifest.json")
+        )
+        self.output_dir = output_dir
+        self.params = params or {}
+
+    def run(self, force: bool = False) -> SuiteResult:
+        all_parts = self.table.partition_ids()
+        pending = all_parts if force else self.manifest.pending(self.table, self.rules)
+        skipped = sorted(set(all_parts) - set(pending))
+        if not pending:
+            empty = self.spark.createDataFrame(
+                [],
+                "part_id int, rule_id string, doc_id string, source string,"
+                " n_tok int, detail string",
+            )
+            return SuiteResult([], empty, [], skipped)
+
+        df = self.table.read_partitions(self.spark, pending)
+        ctx = RuleContext(
+            spark=self.spark,
+            allowed_sources=self.allowed_sources,
+            reference_profiles=self.reference_profiles,
+            part_ids=pending,
+            params=self.params,
+        )
+
+        verdict_rows: list[dict] = []
+        violation_frames: list[DataFrame] = []
+        for rule in self.rules:
+            res = rule.evaluate(df, ctx)
+            verdict_rows.extend(r.asDict() for r in res.verdicts.collect())
+            violation_frames.append(res.violations)
+
+        violations = canonical_violations(_union_all(violation_frames))
+        if self.output_dir:
+            (
+                violations.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_id")
+                .parquet(os.path.join(self.output_dir, "violations"))
+            )
+
+        rows_validated = df.count()
+
+        # manifest update: per-part verdict = all rules passed
+        by_part: dict[int, dict[str, dict]] = {}
+        for v in verdict_rows:
+            by_part.setdefault(int(v["part_id"]), {})[v["rule_id"]] = v
+        for pid in pending:
+            info = self.table.partition_info(pid)
+            rules_v = by_part.get(pid, {})
+            ok = all(v["passed"] for v in rules_v.values()) and len(rules_v) == len(
+                self.rules
+            )
+            metrics = {rid: float(v["metric"] or 0.0) for rid, v in rules_v.items()}
+            self.manifest.record(
+                pid,
+                info.snapshot_id,
+                list(info.files),
+                self.rules,
+                metrics,
+                "pass" if ok else "fail",
+            )
+        self.manifest.save()
+        return SuiteResult(verdict_rows, violations, pending, skipped, rows_validated)
+
+
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def token_digests(df: DataFrame) -> DataFrame:
+    """Per-row invariant vs the reference: token-array equality, checked as an
+    xxhash64 digest of the canonical token encoding (input_hint)."""
+    return df.select("doc_id", F.xxhash64("tokens").alias("token_digest"))

@@ -1,0 +1,99 @@
+"""Golden-verdict tests: each rule must fail exactly the partitions whose
+role injects that rule's violation (FIXTURES.md §1, SURVEY.md §7.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lk_data_test_spark.datagen import expected_failing_parts
+from lk_data_test_spark.operators import column_stats, drift, referential, uniqueness
+from lk_data_test_spark.plans.rules import RuleContext
+from lk_data_test_spark.sources.catalog import PartitionedTable
+from tests.conftest import TEST_CFG
+
+EXPECTED = expected_failing_parts(TEST_CFG)
+
+
+@pytest.fixture(scope="module")
+def ctx_df(spark, corpus_dir):
+    table = PartitionedTable(f"{corpus_dir}/sequences")
+    df = table.read(spark)
+    ctx = RuleContext(
+        spark=spark,
+        allowed_sources=spark.read.parquet(f"{corpus_dir}/allowed_sources"),
+        reference_profiles=spark.read.parquet(f"{corpus_dir}/reference_profiles"),
+        part_ids=table.partition_ids(),
+    )
+    return ctx, df
+
+
+def _failing(verdicts) -> set[int]:
+    return {r["part_id"] for r in verdicts.collect() if not r["passed"]}
+
+
+def test_referential(ctx_df):
+    ctx, df = ctx_df
+    res = referential.evaluate(df, ctx)
+    assert _failing(res.verdicts) == EXPECTED["referential"]
+    v = res.violations.collect()
+    assert v and all(r["rule_id"] == "referential" for r in v)
+    assert all(r["part_id"] in EXPECTED["referential"] for r in v)
+    assert all(r["detail"].startswith("unknown source: ") for r in v)
+
+
+def test_column_stats(ctx_df):
+    ctx, df = ctx_df
+    res = column_stats.evaluate(df, ctx)
+    assert _failing(res.verdicts) == EXPECTED["column_stats"]
+    v = res.violations.collect()
+    # 6 injected defects per badcol partition
+    assert len(v) == 6 * len(EXPECTED["column_stats"])
+    details = {r["detail"] for r in v}
+    assert "null_n_tok" in details and "len_mismatch" in details
+    # stats table sanity
+    stats = {r["part_id"]: r for r in res.stats.collect()}
+    p = next(iter(EXPECTED["column_stats"]))
+    assert stats[p]["row_count"] == TEST_CFG.rows_per_part
+    assert stats[p]["null_n_tok"] == 2
+    assert sum(stats[p]["n_tok_hist"].values()) == TEST_CFG.rows_per_part
+
+
+def test_uniqueness_screen_and_exact(ctx_df):
+    ctx, df = ctx_df
+    res = uniqueness.evaluate(df, ctx)
+    assert _failing(res.verdicts) == EXPECTED["uniqueness"]
+    v = res.violations.collect()
+    dup_per_part = max(1, int(TEST_CFG.dup_frac * TEST_CFG.rows_per_part))
+    assert len(v) == dup_per_part * len(EXPECTED["uniqueness"])
+    assert all("duplicate doc_id count=2" == r["detail"] for r in v)
+
+
+def test_uniqueness_always_exact_matches_screen(ctx_df):
+    ctx, df = ctx_df
+    exact_ctx = RuleContext(
+        spark=ctx.spark,
+        allowed_sources=ctx.allowed_sources,
+        reference_profiles=ctx.reference_profiles,
+        part_ids=ctx.part_ids,
+        params={"uniqueness": {"always_exact": True}},
+    )
+    res = uniqueness.evaluate(df, exact_ctx)
+    assert _failing(res.verdicts) == EXPECTED["uniqueness"]
+
+
+def test_drift(ctx_df):
+    ctx, df = ctx_df
+    res = drift.evaluate(df, ctx)
+    assert _failing(res.verdicts) == EXPECTED["drift"]
+    v = res.violations.collect()
+    assert v and all(r["part_id"] in EXPECTED["drift"] for r in v)
+
+
+def test_violations_are_column_pruned(ctx_df):
+    """The referential plan must never read the `tokens` column."""
+    ctx, df = ctx_df
+    res = referential.evaluate(df, ctx)
+    plan = res.violations._jdf.queryExecution().executedPlan().toString()
+    assert "tokens" not in plan
