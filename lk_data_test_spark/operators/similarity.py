@@ -1,0 +1,119 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exact baseline (quantized integer dot
+products so a DuckDB oracle reproduces it bit-for-bit); the scale path is
+random-hyperplane LSH bucketing, which turns the O(n*q) score matrix into
+per-bucket equi-joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import int_dot, quantized
+
+
+def _quantized_with_norm(embeddings: DataFrame) -> DataFrame:
+    q = embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    return q.withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Scores are double divisions of exact integer dot products — identical
+    across engines; ties broken by vec_id for full determinism.
+    """
+    q = _quantized_with_norm(embeddings)
+    queries = q.filter(F.col("vec_id") < n_queries)
+    score = (
+        int_dot(F.col("a.q"), F.col("b.q")).cast("double")
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    scored = (
+        F.broadcast(queries).alias("a")
+        .join(q.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            score.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_hyperplanes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature -> bucket equi-join ->
+    exact cosine within bucket.
+
+    At 100 TB the bucket join shuffles only (bucket, vec) pairs with matching
+    signatures; skewed buckets are split by AQE. Recall is tunable via
+    n_planes (fewer planes = bigger buckets = higher recall).
+    """
+    planes = lsh_hyperplanes(dim, n_planes)
+    # signature bit b = sign(dot(embedding, plane_b)) — computed JVM-side from
+    # literal plane arrays (no UDF): sum over zip_with products.
+    plane_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in planes[b]]),
+                lambda e, p: e.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for b in range(n_planes)
+    ]
+    sig = F.concat_ws(
+        "", *[F.when(c >= 0, F.lit("1")).otherwise(F.lit("0")) for c in plane_cols]
+    )
+    q = _quantized_with_norm(embeddings)
+    bucketed = (
+        embeddings.select("vec_id", sig.alias("bucket"))
+        .join(q, "vec_id")
+    )
+    queries = bucketed.filter(F.col("vec_id") < n_queries)
+    score = (
+        int_dot(F.col("a.q"), F.col("b.q")).cast("double")
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    scored = (
+        F.broadcast(queries).alias("a")
+        .join(bucketed.alias("b"), "bucket")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            score.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,114 @@
+"""Text analysis operators over the `documents` table.
+
+Generalizes the reference's string-normalization + counting pipeline
+(``/root/reference/curation/check_fackel_references.py:42-58``: extract,
+lower, normalize, count) into the text-quality primitives a training-data
+pipeline needs: token counting, quality scoring, language ID, fingerprinting,
+corpus word frequency. Everything is a JVM column expression — no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import words
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+ES_STOPWORDS = ["el", "la", "de", "y", "que", "en", "un", "una", "los", "las"]
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish subword token counts per doc."""
+    w = words(F.col("text"))
+    # BPE-ish proxy: whitespace tokens + extra splits at letter/digit borders
+    subword = F.split(
+        F.regexp_replace(
+            F.regexp_replace(F.trim(F.col("text")), r"([a-z])([0-9])", r"$1 $2"),
+            r"([0-9])([a-z])",
+            r"$1 $2",
+        ),
+        r"\s+",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        F.size(subword).alias("n_subword_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristics.
+
+    Score: mean word length in [3,8] is good, stopword ratio in [0.1,0.6] is
+    good, very short docs are penalized — exact integer/double arithmetic so
+    the oracle reproduces it.
+    """
+    w = words(F.col("text"))
+    n_words = F.size(w)
+    stop_hits = F.size(
+        F.filter(w, lambda t: t.isin(EN_STOPWORDS))
+    )
+    mean_wlen = (F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_words)
+    punct = (
+        F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+        / F.length("text")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        (stop_hits / n_words).alias("stopword_ratio"),
+        punct.alias("punct_ratio"),
+        F.when(n_words < 5, 0.0)
+        .otherwise(
+            F.when((mean_wlen >= 3) & (mean_wlen <= 8), 0.5).otherwise(0.2)
+            + F.when(stop_hits / n_words <= 0.6, 0.5).otherwise(0.25)
+        )
+        .alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language guess (n-gram heuristic tier 0): count
+    matches against per-language function-word lists, argmax with 'und'
+    fallback — the reference's lang-tagged literal semantics
+    (make_listwork.py:212: lang='en'/'de'/'und')."""
+    w = words(F.lower(F.col("text")))
+    en = F.size(F.filter(w, lambda t: t.isin(EN_STOPWORDS)))
+    es = F.size(F.filter(w, lambda t: t.isin(ES_STOPWORDS)))
+    guess = (
+        F.when((en > es) & (en > 0), "en")
+        .when((es > en) & (es > 0), "es")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id", "lang", en.alias("en_hits"), es.alias("es_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lowercased text (rolling-hash tier handled by dedup.simhash64)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_short"),
+    )
+
+
+def word_freq_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-level word frequency top-k (explode -> two-phase hash agg)."""
+    return (
+        docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(k)
+    )

@@ -1,0 +1,79 @@
+"""Unit tests: multimodal plumbing, t-digest sketch, string functions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lk_data_test_spark.functions.strings import (
+    last_path_segment,
+    normalize_string,
+    slugify,
+    strip_prefix,
+    zero_pad,
+)
+from lk_data_test_spark.functions.tdigest import TDigest
+from lk_data_test_spark.operators import multimodal
+
+
+def test_multimodal_feature_plumbing(spark):
+    assets = multimodal.synth_assets(spark, n=60)
+    feats = multimodal.extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r["feature"]) == 16 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
+    assert {r["modality"] for r in rows} == {"image", "audio", "video"}
+    # deterministic: same asset -> same feature
+    again = {r["asset_id"]: r["feature"] for r in multimodal.extract_features(
+        multimodal.synth_assets(spark, n=60)).collect()}
+    assert all(again[r["asset_id"]] == r["feature"] for r in rows)
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"xx", "image", real=True)
+
+
+def test_frame_sample_fanout(spark):
+    assets = multimodal.synth_assets(spark, n=30)
+    frames = multimodal.frame_sample_plan(assets, every_n=2)
+    rows = frames.collect()
+    assert rows and all(r["frame_no"] % 2 == 0 for r in rows)
+
+
+def test_tdigest_quantiles_and_merge():
+    rng = np.random.default_rng(0)
+    a, b = rng.normal(0, 1, 20000), rng.normal(0, 1, 20000)
+    da, db = TDigest.of(a), TDigest.of(b)
+    merged = da.merge(db)
+    qs = np.array([0.01, 0.25, 0.5, 0.75, 0.99])
+    est = merged.quantile(qs)
+    true = np.quantile(np.concatenate([a, b]), qs)
+    assert np.all(np.abs(est - true) < 0.08)
+    # serialization round-trip
+    rt = TDigest.from_bytes(merged.to_bytes())
+    assert np.allclose(rt.quantile(qs), est)
+    # deterministic
+    assert TDigest.of(a).merge(TDigest.of(b)).to_bytes() == merged.to_bytes()
+
+
+def test_string_functions(spark):
+    df = spark.createDataFrame(
+        [("  a   b  c ", "#pmb123", "https://X.com/a/b/", 7)],
+        "s string, k string, u string, n int",
+    )
+    r = df.select(
+        normalize_string(F.col("s")).alias("ns"),
+        strip_prefix(F.col("k")).alias("sk"),
+        last_path_segment(F.col("u")).alias("seg"),
+        zero_pad(F.col("n"), 3).alias("zp"),
+        slugify(F.col("s")).alias("slug"),
+    ).collect()[0]
+    assert r["ns"] == "a b c"
+    assert r["sk"] == "pmb123"
+    assert r["seg"] == ""  # trailing slash -> empty last segment
+    assert r["zp"] == "007"
+    assert r["slug"] == "a-b-c"
