@@ -426,6 +426,329 @@ def orders_rich_customer_misses(spark, sf_dir):
 
 
 # ===========================================================================
+# §2.3 J5/J6 — explode-then-join via multimap (make_texts.py:246-271 build,
+# 468-499 probe: page-id -> [text-ids] multimap; here word -> [partkeys])
+# ===========================================================================
+
+@query(
+    "word_partkey_multimap",
+    """
+    SELECT w.word AS word, count(*) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part) w
+      ON l.l_partkey = w.p_partkey
+    GROUP BY word ORDER BY word
+    """,
+)
+def word_partkey_multimap(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    multimap = p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )
+    return (
+        li.join(F.broadcast(multimap), li.l_partkey == multimap.p_partkey)
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("word")
+    )
+
+
+# §2.4 A4 — group -> collect list multimap (check_fackel_references.py:40-52)
+@query(
+    "source_doc_multimap",
+    """
+    SELECT source,
+           array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids,
+           count(*) AS n
+    FROM documents WHERE doc_id < 100 GROUP BY source ORDER BY source
+    """,
+)
+def source_doc_multimap(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
+            ).alias("doc_ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("source")
+    )
+
+
+# §2.4 A9 — distinct set per group (utils/utilities.py:103-110 event types)
+@query(
+    "user_event_type_sets",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+           count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_event_type_sets(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+                "types"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# §2.4 A3 — exact count-distinct (set(sources), check_fackel_references.py:63,72)
+@query(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def distinct_users_per_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# A3 at-scale variant: HLL sketch (approx_count_distinct) — approximate by
+# design, so rows-only (the R2 uniqueness rule pytest-verifies the HLL screen
+# against exact counts)
+@query("approx_distinct_users_per_type", None)
+def approx_distinct_users_per_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+# §2.4 A8 — pick-first-match per group (enrich_fackel_bibls.py:107 matches[0])
+@query(
+    "cheapest_part_per_brand",
+    """
+    SELECT brand, cheapest_partkey, min_price FROM (
+      SELECT p_brand AS brand, p_partkey AS cheapest_partkey,
+             min(p_retailprice) OVER (PARTITION BY p_brand) AS min_price,
+             row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice, p_partkey) AS rn
+      FROM part) WHERE rn = 1 ORDER BY brand
+    """,
+)
+def cheapest_part_per_brand(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.min_by("p_partkey", F.struct("p_retailprice", "p_partkey")).alias(
+                "cheapest_partkey"
+            ),
+            F.min("p_retailprice").alias("min_price"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ===========================================================================
+# §2.2 P3/P8/P9/P10 — prefix strip, skip-value, fallback chain, limit
+# ===========================================================================
+
+@query(
+    "coalesce_fallback_chain",
+    """
+    SELECT doc_id,
+           coalesce(NULLIF(lang, 'und'), 'undefined') AS lang_resolved,
+           regexp_replace(source, '^src', '') AS source_no_prefix
+    FROM documents WHERE source <> 'not-set' ORDER BY doc_id
+    """,
+)
+def coalesce_fallback_chain(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("source") != "not-set")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.when(F.col("lang") == "und", None).otherwise(F.col("lang")),
+                F.lit("undefined"),
+            ).alias("lang_resolved"),
+            F.regexp_replace("source", "^src", "").alias("source_no_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "top100_docs_sample",
+    """
+    SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 100
+    """,
+)
+def top100_docs_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars").orderBy("doc_id").limit(100)
+
+
+# §2.8 geo — "long lat" -> WKT Point literal (utils/utilities.py:507-514)
+@query(
+    "supplier_geo_wkt",
+    """
+    SELECT s_suppkey,
+           concat('Point(', CAST(s_nationkey AS VARCHAR), ' ',
+                  CAST(s_suppkey % 90 AS VARCHAR), ')') AS wkt
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def supplier_geo_wkt(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.concat(
+            F.lit("Point("),
+            F.col("s_nationkey").cast("string"),
+            F.lit(" "),
+            (F.col("s_suppkey") % 90).cast("string"),
+            F.lit(")"),
+        ).alias("wkt"),
+    ).orderBy("s_suppkey")
+
+
+# §2.5 W1 / §2.10 UDTF-shape — 1 row -> N indexed rows (make_listwork.py:169-191
+# enumerate -> indexed URIs), as posexplode
+@query(
+    "posexplode_words",
+    """
+    SELECT doc_id, pos, word FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)+1),
+                    i -> {'pos': i-1, 'word': ws[i]}), recursive := true)
+      FROM (SELECT doc_id, string_split(trim(text), ' ') ws
+            FROM documents WHERE doc_id < 20)
+    ) ORDER BY doc_id, pos
+    """,
+)
+def posexplode_words(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), " ")).alias("pos", "word")
+    ).orderBy("doc_id", "pos")
+
+
+# §2.8 map/json — struct -> JSON export (counter dicts -> JSON,
+# check_fackel_references.py:36-37)
+@query(
+    "event_json_export",
+    """
+    SELECT event_id,
+           to_json({'event_type': event_type, 'user_id': user_id}) AS j
+    FROM events ORDER BY event_id
+    """,
+)
+def event_json_export(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.to_json(F.struct("event_type", "user_id")).alias("j"),
+    ).orderBy("event_id")
+
+
+# §2.8 array — fold/aggregate over arrays (exact int arithmetic both engines)
+@query(
+    "embedding_int_norms",
+    """
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) qv
+               FROM embeddings)
+    SELECT vec_id, len(qv) AS dim,
+           CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS sq_norm_milli
+    FROM q ORDER BY vec_id
+    """,
+)
+def embedding_int_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    return e.select(
+        "vec_id",
+        F.size(qv).alias("dim"),
+        F.aggregate(
+            qv, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("sq_norm_milli"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "doc_word_membership",
+    """
+    SELECT doc_id, len(ws) AS n_words, list_contains(ws, 'the') AS has_the
+    FROM (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def doc_word_membership(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.array_contains(ws, "the").alias("has_the"),
+    ).orderBy("doc_id")
+
+
+# ===========================================================================
+# Multimodal plumbing (operators/multimodal.py) — binary payloads + Arrow
+# batch UDFs; decode is stubbed (no media libs in container) so rows-only
+# ===========================================================================
+
+@query("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    from .operators import multimodal
+
+    assets = multimodal.synth_assets(spark, n=300)
+    feats = multimodal.extract_features(assets)
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.avg(F.element_at("feature", 1)).alias("mean_f0"),
+        )
+        .orderBy("modality")
+    )
+
+
+@query("video_frame_samples", None)
+def video_frame_samples(spark, sf_dir):
+    from .operators import multimodal
+
+    assets = multimodal.synth_assets(spark, n=300)
+    return (
+        multimodal.frame_sample_plan(assets, every_n=2)
+        .groupBy("asset_id")
+        .agg(F.count(F.lit(1)).alias("n_samples"), F.max("frame_no").alias("max_frame"))
+        .orderBy("asset_id")
+    )
+
+
+# ===========================================================================
 # §2.7 set operations
 # ===========================================================================
 
