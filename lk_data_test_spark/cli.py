@@ -19,6 +19,12 @@ import os
 import sys
 import time
 
+# spark-submit puts the primary script's own directory on sys.path, not the
+# repo root; bootstrap the package for runs without --py-files
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
@@ -28,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rows-per-part", type=int, default=2000)
     ap.add_argument("--cores", default=None)
     ap.add_argument("--force", action="store_true", help="ignore checkpoint")
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="run the suite N times and report the LAST run (steady-state "
+        "throughput: excludes one-time JVM/python-worker/codegen startup)",
+    )
     args = ap.parse_args(argv)
 
     from lk_data_test_spark.datagen import GenConfig, generate
@@ -55,9 +68,16 @@ def main(argv: list[str] | None = None) -> int:
         ),
         output_dir=os.path.join(args.data_dir, "validation_out"),
     )
-    t0 = time.time()
-    res = runner.run(force=args.force)
-    elapsed = time.time() - t0
+    run_times = []
+    for i in range(max(1, args.repeat)):
+        # repeated runs must all validate the full table (no manifest skips)
+        force = args.force or args.repeat > 1
+        t0 = time.time()
+        res = runner.run(force=force)
+        run_times.append(round(time.time() - t0, 2))
+        if args.repeat > 1:
+            print(f"  run {i + 1}/{args.repeat}: {run_times[-1]}s", file=sys.stderr)
+    elapsed = run_times[-1]
 
     for v in sorted(res.verdicts, key=lambda v: (v["rule_id"], v["part_id"])):
         print(
@@ -76,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         "elapsed_sec": round(elapsed, 2),
         "sequences_per_sec": round(res.rows_validated / elapsed, 1) if elapsed else 0,
+        "run_times_sec": run_times,
     }
     print(json.dumps(summary))
     return 0

@@ -565,6 +565,37 @@ def cheapest_part_per_brand(spark, sf_dir):
     )
 
 
+# §2.3 J8 — self-referential update join: key_map applied to all rows, keep
+# original where unmapped (fix_journal_keys.py:17-22, fix_key_in_date.py:19-25)
+@query(
+    "event_type_key_rewrite",
+    """
+    SELECT coalesce(m.new_type, e.event_type) AS event_type_resolved,
+           count(*) AS n
+    FROM events e
+    LEFT JOIN (VALUES ('error', 'failure'), ('signup', 'registration'))
+         AS m(old_type, new_type)
+      ON e.event_type = m.old_type
+    GROUP BY 1 ORDER BY event_type_resolved
+    """,
+)
+def event_type_key_rewrite(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    key_map = spark.createDataFrame(
+        [("error", "failure"), ("signup", "registration")],
+        "old_type string, new_type string",
+    )
+    return (
+        e.join(F.broadcast(key_map), e.event_type == key_map.old_type, "left")
+        .select(
+            F.coalesce("new_type", "event_type").alias("event_type_resolved")
+        )
+        .groupBy("event_type_resolved")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type_resolved")
+    )
+
+
 # ===========================================================================
 # §2.2 P3/P8/P9/P10 — prefix strip, skip-value, fallback chain, limit
 # ===========================================================================

@@ -78,12 +78,25 @@ class ValidationRunner:
             params=self.params,
         )
 
+        # Rules are independent plans over the same scan: evaluate them
+        # CONCURRENTLY (one driver thread each) so their jobs overlap — the
+        # fixed per-job costs (python-worker spin-up, codegen, scheduling
+        # latency) amortize across rules and the executor cores stay full.
+        # Spark job submission is thread-safe; outputs keep rule order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def eval_rule(rule: Rule):
+            res = rule.evaluate(df, ctx)
+            return [r.asDict() for r in res.verdicts.collect()], res.violations
+
+        with ThreadPoolExecutor(max_workers=max(1, len(self.rules))) as ex:
+            results = list(ex.map(eval_rule, self.rules))
+
         verdict_rows: list[dict] = []
         violation_frames: list[DataFrame] = []
-        for rule in self.rules:
-            res = rule.evaluate(df, ctx)
-            verdict_rows.extend(r.asDict() for r in res.verdicts.collect())
-            violation_frames.append(res.violations)
+        for rows, viol in results:
+            verdict_rows.extend(rows)
+            violation_frames.append(viol)
 
         violations = canonical_violations(_union_all(violation_frames))
         if self.output_dir:
