@@ -223,6 +223,7 @@ def expected_failing_parts(cfg: GenConfig) -> dict[str, set[int]]:
     for p in range(cfg.n_parts):
         by_role[part_role(p)].add(p)
     return {
+        "schema": set(),  # generated corpus always matches the contract
         "column_stats": set(by_role["badcol"]),
         "uniqueness": set(by_role["dup"]),
         "referential": set(by_role["badsrc"]),

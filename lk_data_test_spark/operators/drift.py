@@ -5,26 +5,35 @@ profile index (``/root/reference/curation/check_fackel_references.py:13-29``)
 and the scored-matching procedure of ``scripts/enrich_fackel_bibls.py:77-96``;
 here generalized to statistical drift detection per (partition, source).
 
-Two signals, both computed without ever collecting raw rows:
+Two signals, both computed in ONE fused pass (single scan of the fact table,
+single Arrow stage, two small shuffles) without ever collecting raw rows:
 
 1. **n_tok KS statistic.** ``n_tok`` lives in a bounded integer domain
-   ([1, 8192]), so an *exact* histogram ``groupBy(part_id, source, n_tok)``
-   is a mergeable, bounded-size sketch (<= 8192 rows per group — strictly
-   better than a t-digest here; ``functions/tdigest.py`` provides the t-digest
-   path for unbounded real-valued columns). A vectorized ``applyInPandas``
-   over each (part_id, source) histogram computes the Kolmogorov–Smirnov
-   sup-distance between the observed ECDF and the reference quantile profile.
+   ([1, 8192]), so an *exact* histogram per (part_id, source) is a mergeable,
+   bounded-size sketch (<= 8192 entries per group — strictly better than a
+   t-digest here; ``functions/tdigest.py`` provides the t-digest path for
+   unbounded real-valued columns). The Kolmogorov–Smirnov sup-distance is
+   taken between the observed ECDF and the reference quantile profile.
 
 2. **Token-frequency L1 distance.** The reference profile pins the expected
-   relative frequency of the top-K tokens. The plan filters each row's token
-   array down to profile tokens *before* exploding (``F.filter`` runs in the
-   JVM, so >99% of tokens never become rows), aggregates counts per
-   (part_id, source, token), and compares against the profile inside the same
-   grouped-map pass. Total token mass per group comes from the stage-1
-   histogram (sum n_tok * count) — no second full scan.
+   relative frequency of the top-K tokens. Token arrays are filtered down to
+   the profile domain JVM-side (``F.filter``, so >99% of tokens never cross
+   into Arrow at realistic vocab sizes), then bin-counted per Arrow batch
+   with numpy — each task emits <= |ref_tokens| partial rows per group
+   instead of shuffling one row per token occurrence (~10^14 rows at target
+   scale for a JVM explode).
 
-Skew note: groupBy keys include n_tok/token, which fans a hot (part, source)
-over thousands of reducer keys; AQE skew handling covers the rest.
+Plan shape::
+
+    scan (part_id, source, n_tok, tokens·filtered)
+      -> mapInPandas: tagged partials  (kind 0: n_tok hist, kind 1: token cnt)
+      -> groupBy(part_id, source, kind, key).sum          [shuffle 1, partial agg]
+      -> applyInPandas per (part_id, source): KS + L1     [shuffle 2, tiny input]
+      -> score / verdicts / violations                    [rows = parts x sources]
+
+Skew note: partial aggregation keys include (kind, key), which fans a hot
+(part, source) over thousands of reducer keys; AQE skew handling covers the
+rest.
 """
 
 from __future__ import annotations
@@ -44,6 +53,9 @@ DEFAULTS = {
     "l1_threshold": 0.20,
     "min_docs": 300,  # groups smaller than this are too noisy to judge
 }
+
+KIND_NTOK = 0
+KIND_TOKEN = 1
 
 
 def _ks_from_hist(values: np.ndarray, counts: np.ndarray, quantiles: np.ndarray) -> float:
@@ -84,112 +96,108 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
     lo, hi = ref_tokens[0], ref_tokens[-1]
     contiguous = ref_tokens == list(range(lo, hi + 1))
 
-    # ---- signal 1: exact bounded-domain n_tok histogram -> KS ------------
-    # cached: reused by the KS pass and the token-mass totals, and re-read
-    # when verdicts and violations both materialize
-    hist = (
-        df.filter(F.col("n_tok").isNotNull())
-        .groupBy("part_id", "source", "n_tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()
+    # ---- fused stage 1: tagged partials from ONE scan ---------------------
+    # tokens filtered to the profile domain in the JVM before Arrow transfer
+    toks = (
+        F.filter("tokens", lambda t: (t >= F.lit(lo)) & (t <= F.lit(hi)))
+        if contiguous
+        else F.col("tokens")
     )
+    src = df.select("part_id", "source", "n_tok", toks.alias("tokens"))
 
-    def ks_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        part_id = int(pdf["part_id"].iloc[0])
-        source = str(pdf["source"].iloc[0])
-        n = float(pdf["cnt"].sum())
-        q = quantiles.get(source)
-        ks = (
-            _ks_from_hist(pdf["n_tok"].to_numpy(), pdf["cnt"].to_numpy(), q)
-            if q is not None
-            else 0.0
-        )
-        return pd.DataFrame(
-            {"part_id": [part_id], "source": [source], "ks": [ks], "n_docs": [n]}
-        )
-
-    ks = hist.groupBy("part_id", "source").applyInPandas(
-        ks_fn, "part_id int, source string, ks double, n_docs double"
-    )
-
-    # ---- signal 2: token-frequency L1 vs profile -------------------------
-    # total token mass per group from the histogram (no extra full scan)
-    totals = hist.groupBy("part_id", "source").agg(
-        F.sum(F.col("n_tok").cast("double") * F.col("cnt")).alias("total_tok")
-    )
-    # Map-side partial counts inside one Arrow batch (numpy bincount):
-    # a JVM explode would shuffle one row per matching token (~10^14 rows at
-    # target scale); this emits <=|ref_tokens| partial rows per (batch, group)
-    # instead — measured 3x faster than explode+filter even at bench scale.
-    def tok_partials(batches) -> "pd.DataFrame":
+    def partials(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            for (pid, src), g in pdf.groupby(["part_id", "source"], sort=False):
+            for (pid, s), g in pdf.groupby(["part_id", "source"], sort=False):
+                out_k, out_key, out_cnt = [], [], []
+                # n_tok histogram partial (nulls excluded, like the agg did)
+                nt = g["n_tok"].dropna().to_numpy(dtype=np.int64)
+                if nt.size:
+                    vals, cnts = np.unique(nt, return_counts=True)
+                    out_k.append(np.zeros(len(vals), dtype=np.int32))
+                    out_key.append(vals)
+                    out_cnt.append(cnts)
+                # token-count partial
+                arrs = [np.asarray(t) for t in g["tokens"] if t is not None]
                 flat = (
-                    np.concatenate([np.asarray(t) for t in g["tokens"]])
-                    if len(g)
-                    else np.empty(0, dtype=np.int64)
+                    np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
                 )
-                if contiguous:
-                    flat = flat[(flat >= lo) & (flat <= hi)]
-                    if not flat.size:
-                        continue
+                if not contiguous and flat.size:
+                    flat = flat[np.isin(flat, ref_token_np)]
+                if flat.size:
                     bc = np.bincount(flat - lo, minlength=hi - lo + 1)
                     vals = np.nonzero(bc)[0] + lo
-                    cnts = bc[vals - lo]
-                else:
-                    flat = flat[np.isin(flat, ref_token_np)]
-                    if not flat.size:
-                        continue
-                    vals, cnts = np.unique(flat, return_counts=True)
+                    out_k.append(np.ones(len(vals), dtype=np.int32))
+                    out_key.append(vals)
+                    out_cnt.append(bc[vals - lo])
+                if not out_k:
+                    continue
                 yield pd.DataFrame(
                     {
-                        "part_id": np.full(len(vals), pid, dtype=np.int32),
-                        "source": src,
-                        "token": vals.astype(np.int32),
-                        "tok_cnt": cnts.astype(np.int64),
+                        "part_id": np.full(
+                            sum(len(a) for a in out_k), pid, dtype=np.int32
+                        ),
+                        "source": s,
+                        "kind": np.concatenate(out_k),
+                        "key": np.concatenate(out_key).astype(np.int64),
+                        "cnt": np.concatenate(out_cnt).astype(np.int64),
                     }
                 )
 
-    tok_counts = (
-        df.select("part_id", "source", "tokens")
-        .mapInPandas(
-            tok_partials, "part_id int, source string, token int, tok_cnt long"
+    merged = (
+        src.mapInPandas(
+            partials, "part_id int, source string, kind int, key long, cnt long"
         )
-        .groupBy("part_id", "source", "token")
-        .agg(F.sum("tok_cnt").alias("tok_cnt"))
-        .join(F.broadcast(totals), ["part_id", "source"], "left")
+        .groupBy("part_id", "source", "kind", "key")
+        .agg(F.sum("cnt").alias("cnt"))
     )
 
+    # ---- fused stage 2: KS + L1 per (part_id, source) ---------------------
     ref_idx = {t: i for i, t in enumerate(ref_tokens)}
+    n_ref = len(ref_tokens)
 
-    def l1_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(pdf["part_id"].iloc[0])
         source = str(pdf["source"].iloc[0])
-        total = float(pdf["total_tok"].iloc[0] or 0.0)
-        ref = token_freq.get(source, {})
-        obs = np.zeros(len(ref_tokens))
-        for t, c in zip(pdf["token"], pdf["tok_cnt"]):
-            i = ref_idx.get(int(t))
+        h = pdf[pdf["kind"] == KIND_NTOK]
+        t = pdf[pdf["kind"] == KIND_TOKEN]
+        n_docs = float(h["cnt"].sum())
+        q = quantiles.get(source)
+        ks = (
+            _ks_from_hist(h["key"].to_numpy(), h["cnt"].to_numpy(), q)
+            if q is not None and len(h)
+            else 0.0
+        )
+        # total token mass (incl. out-of-profile tokens) from the histogram:
+        # sum(n_tok * count) — no second scan needed
+        total = float((h["key"] * h["cnt"]).sum())
+        obs = np.zeros(n_ref)
+        for tok, c in zip(t["key"], t["cnt"]):
+            i = ref_idx.get(int(tok))
             if i is not None:
                 obs[i] = float(c)
         obs = obs / total if total > 0 else obs
-        refv = np.array([ref.get(t, 0.0) for t in ref_tokens])
+        ref = token_freq.get(source, {})
+        refv = np.array([ref.get(tk, 0.0) for tk in ref_tokens])
+        l1 = float(np.abs(obs - refv).sum())
         return pd.DataFrame(
-            {"part_id": [part_id], "source": [source], "l1": [float(np.abs(obs - refv).sum())]}
+            {
+                "part_id": [part_id],
+                "source": [source],
+                "ks": [ks],
+                "l1": [l1],
+                "n_docs": [n_docs],
+            }
         )
 
-    l1 = tok_counts.groupBy("part_id", "source").applyInPandas(
-        l1_fn, "part_id int, source string, l1 double"
-    )
-
-    # ---- combine: normalized drift score per (part, source) --------------
     # cached: tiny (one row per part x source) but expensive to produce;
     # verdicts and violations both read it
     per_group = (
-        ks.join(l1, ["part_id", "source"], "left")
-        .withColumn("l1", F.coalesce(F.col("l1"), F.lit(0.0)))
+        merged.groupBy("part_id", "source")
+        .applyInPandas(
+            score_fn, "part_id int, source string, ks double, l1 double, n_docs double"
+        )
         .filter(F.col("n_docs") >= F.lit(float(p["min_docs"])))
         .withColumn(
             "score",

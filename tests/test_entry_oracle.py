@@ -76,7 +76,7 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
-    assert len(rows) == 20  # 5 parts x 4 rules
+    assert len(rows) == 25  # 5 parts x 5 rules
     assert {r["rule_id"] for r in rows} == {
-        "column_stats", "uniqueness", "referential", "drift",
+        "schema", "column_stats", "uniqueness", "referential", "drift",
     }

@@ -97,3 +97,29 @@ def test_violations_are_column_pruned(ctx_df):
     res = referential.evaluate(df, ctx)
     plan = res.violations._jdf.queryExecution().executedPlan().toString()
     assert "tokens" not in plan
+
+
+def test_schema_check(ctx_df):
+    from lk_data_test_spark.operators import schema_check
+
+    ctx, df = ctx_df
+    res = schema_check.evaluate(df, ctx)
+    assert _failing(res.verdicts) == set()
+    assert res.violations.count() == 0
+
+    # a drifted schema: missing n_tok, wrongly-typed tokens, extra column
+    bad = df.select(
+        "doc_id",
+        F.col("tokens").cast("array<long>").alias("tokens"),
+        F.col("source"),
+        F.lit(1).alias("surprise"),
+        "part_id",
+    )
+    defects = schema_check.schema_defects(bad)
+    assert any("missing column: n_tok" in d for d in defects)
+    assert any(d.startswith("type mismatch: tokens") for d in defects)
+    assert any("unexpected column: surprise" in d for d in defects)
+    res2 = schema_check.evaluate(bad, ctx)
+    assert _failing(res2.verdicts) == set(ctx.part_ids)
+    v = res2.violations.collect()
+    assert len(v) == len(defects) * len(ctx.part_ids)

@@ -58,7 +58,7 @@ def test_suite_and_resume(spark, corpus_dir, tmp_path):
     e = r2.manifest.entries[str(sorted(ALL_FAILING)[0])]
     assert e["snapshot_id"] and e["files"]
     assert set(e["rule_versions"]) == {
-        "column_stats", "uniqueness", "referential", "drift",
+        "schema", "column_stats", "uniqueness", "referential", "drift",
     }
     assert set(e["metrics"]) == set(e["rule_versions"])
 

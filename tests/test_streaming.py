@@ -26,7 +26,7 @@ def test_stream_validation_matches_batch(spark, corpus_dir, tmp_path):
     q.awaitTermination(600)
 
     all_verdicts = [v for batch in collected.values() for v in batch]
-    assert len(all_verdicts) == TEST_CFG.n_parts * 4  # every part x every rule
+    assert len(all_verdicts) == TEST_CFG.n_parts * 5  # every part x every rule
     failing = {v["part_id"] for v in all_verdicts if not v["passed"]}
     # drift needs >= min_docs per (part, source) group; micro-batches that
     # split a partition across files can fall under it, so drift verdicts may
