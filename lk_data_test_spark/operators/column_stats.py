@@ -37,8 +37,44 @@ def _cnt(cond) -> F.Column:
     return F.sum(F.when(cond, 1).otherwise(0))
 
 
-def partition_stats(df: DataFrame, n_salt: int, bucket_width: int) -> DataFrame:
-    """The single salted pass -> one stats row per part_id."""
+def partition_stats(
+    df: DataFrame, n_salt: int, bucket_width: int, shared=None
+) -> DataFrame:
+    """The single salted pass -> one stats row per part_id.
+
+    When ``shared`` (plans/shared.py SharedTokenStats) is given, the two
+    checks that need the `tokens` column (null arrays, n_tok != size) come
+    from the suite's shared token scan and THIS pass never touches `tokens`
+    at all — the scan reads only (part_id, doc_id, source, n_tok)."""
+    if shared is not None:
+        from ..plans.shared import KIND_LEN_MISMATCH, KIND_NULL_TOKENS
+
+        tok_checks = (
+            shared.partials.filter(
+                F.col("kind").isin(KIND_LEN_MISMATCH, KIND_NULL_TOKENS)
+            )
+            .groupBy("part_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("kind") == KIND_NULL_TOKENS, F.col("cnt")).otherwise(0)
+                ).alias("null_tokens"),
+                F.sum(
+                    F.when(F.col("kind") == KIND_LEN_MISMATCH, F.col("cnt")).otherwise(0)
+                ).alias("len_mismatch"),
+            )
+        )
+        base = partition_stats_no_tokens(df, n_salt, bucket_width)
+        return (
+            base.join(tok_checks, "part_id", "left")
+            .withColumn("null_tokens", F.coalesce("null_tokens", F.lit(0)))
+            .withColumn("len_mismatch", F.coalesce("len_mismatch", F.lit(0)))
+            .select(
+                "part_id", "row_count", "null_doc_id", "null_source",
+                "null_n_tok", "null_tokens", "nonpos_n_tok", "len_mismatch",
+                "min_n_tok", "max_n_tok", "sum_n_tok", "n_tok_hist",
+            )
+        )
+
     sz = F.size("tokens")
     stage1 = (
         df.select(
@@ -105,11 +141,74 @@ def partition_stats(df: DataFrame, n_salt: int, bucket_width: int) -> DataFrame:
     )
 
 
+def partition_stats_no_tokens(
+    df: DataFrame, n_salt: int, bucket_width: int
+) -> DataFrame:
+    """The salted pass over the narrow columns only (no `tokens` read)."""
+    stage1 = (
+        df.select(
+            "part_id",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).alias("salt"),
+            F.coalesce(
+                F.floor(F.col("n_tok") / F.lit(bucket_width)), F.lit(-1)
+            ).alias("bucket"),
+            "doc_id",
+            "source",
+            "n_tok",
+        )
+        .groupBy("part_id", "salt", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _cnt(F.col("doc_id").isNull()).alias("null_doc_id"),
+            _cnt(F.col("source").isNull()).alias("null_source"),
+            _cnt(F.col("n_tok").isNull()).alias("null_n_tok"),
+            _cnt(F.col("n_tok").isNotNull() & (F.col("n_tok") <= 0)).alias(
+                "nonpos_n_tok"
+            ),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+            F.sum("n_tok").alias("sum_n_tok"),
+        )
+    )
+    stage2 = stage1.groupBy("part_id", "bucket").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("null_doc_id").alias("null_doc_id"),
+        F.sum("null_source").alias("null_source"),
+        F.sum("null_n_tok").alias("null_n_tok"),
+        F.sum("nonpos_n_tok").alias("nonpos_n_tok"),
+        F.min("min_n_tok").alias("min_n_tok"),
+        F.max("max_n_tok").alias("max_n_tok"),
+        F.sum("sum_n_tok").alias("sum_n_tok"),
+    )
+    return stage2.groupBy("part_id").agg(
+        F.sum("cnt").alias("row_count"),
+        F.sum("null_doc_id").alias("null_doc_id"),
+        F.sum("null_source").alias("null_source"),
+        F.sum("null_n_tok").alias("null_n_tok"),
+        F.sum("nonpos_n_tok").alias("nonpos_n_tok"),
+        F.min("min_n_tok").alias("min_n_tok"),
+        F.max("max_n_tok").alias("max_n_tok"),
+        F.sum("sum_n_tok").alias("sum_n_tok"),
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("bucket").cast("int"), F.col("cnt").cast("long"))
+                )
+            )
+        ).alias("n_tok_hist"),
+    )
+
+
 def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
     p = {**DEFAULTS, **ctx.params.get(RULE_ID, {})}
     # one row per partition; cached so the verdict collect (for partition
     # pruning of the violation scan) and downstream reads share one pass
-    stats = partition_stats(df, p["n_salt"], p["bucket_width"]).cache()
+    from ..plans.shared import SharedTokenStats
+
+    shared = ctx.shared if isinstance(ctx.shared, SharedTokenStats) else None
+    stats = partition_stats(
+        df, p["n_salt"], p["bucket_width"], shared=shared
+    ).cache()
 
     bad = (
         F.col("null_doc_id")

@@ -54,10 +54,6 @@ DEFAULTS = {
     "min_docs": 300,  # groups smaller than this are too noisy to judge
 }
 
-KIND_NTOK = 0
-KIND_TOKEN = 1
-
-
 def _ks_from_hist(values: np.ndarray, counts: np.ndarray, quantiles: np.ndarray) -> float:
     """KS sup-distance between a histogram ECDF and a 99-quantile profile."""
     order = np.argsort(values)
@@ -92,66 +88,15 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
         r["source"]: dict(r["token_freq"]) for r in prof_rows
     }
     ref_tokens = sorted({t for m in token_freq.values() for t in m})
-    ref_token_np = np.asarray(ref_tokens, dtype=np.int64)
-    lo, hi = ref_tokens[0], ref_tokens[-1]
-    contiguous = ref_tokens == list(range(lo, hi + 1))
 
-    # ---- fused stage 1: tagged partials from ONE scan ---------------------
-    # tokens filtered to the profile domain in the JVM before Arrow transfer
-    toks = (
-        F.filter("tokens", lambda t: (t >= F.lit(lo)) & (t <= F.lit(hi)))
-        if contiguous
-        else F.col("tokens")
-    )
-    src = df.select("part_id", "source", "n_tok", toks.alias("tokens"))
+    # ---- stage 1: tagged partials — shared with column_stats when the
+    # runner provides ctx.shared (ONE scan of `tokens` for the whole suite)
+    from ..plans.shared import KIND_NTOK, KIND_TOKEN, SharedTokenStats
 
-    def partials(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            for (pid, s), g in pdf.groupby(["part_id", "source"], sort=False):
-                out_k, out_key, out_cnt = [], [], []
-                # n_tok histogram partial (nulls excluded, like the agg did)
-                nt = g["n_tok"].dropna().to_numpy(dtype=np.int64)
-                if nt.size:
-                    vals, cnts = np.unique(nt, return_counts=True)
-                    out_k.append(np.zeros(len(vals), dtype=np.int32))
-                    out_key.append(vals)
-                    out_cnt.append(cnts)
-                # token-count partial
-                arrs = [np.asarray(t) for t in g["tokens"] if t is not None]
-                flat = (
-                    np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
-                )
-                if not contiguous and flat.size:
-                    flat = flat[np.isin(flat, ref_token_np)]
-                if flat.size:
-                    bc = np.bincount(flat - lo, minlength=hi - lo + 1)
-                    vals = np.nonzero(bc)[0] + lo
-                    out_k.append(np.ones(len(vals), dtype=np.int32))
-                    out_key.append(vals)
-                    out_cnt.append(bc[vals - lo])
-                if not out_k:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "part_id": np.full(
-                            sum(len(a) for a in out_k), pid, dtype=np.int32
-                        ),
-                        "source": s,
-                        "kind": np.concatenate(out_k),
-                        "key": np.concatenate(out_key).astype(np.int64),
-                        "cnt": np.concatenate(out_cnt).astype(np.int64),
-                    }
-                )
-
-    merged = (
-        src.mapInPandas(
-            partials, "part_id int, source string, kind int, key long, cnt long"
-        )
-        .groupBy("part_id", "source", "kind", "key")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    shared = ctx.shared
+    if shared is None or not isinstance(shared, SharedTokenStats):
+        shared = SharedTokenStats.from_profiles(df, profiles)
+    merged = shared.partials.filter(F.col("kind").isin(KIND_NTOK, KIND_TOKEN))
 
     # ---- fused stage 2: KS + L1 per (part_id, source) ---------------------
     ref_idx = {t: i for i, t in enumerate(ref_tokens)}
@@ -160,8 +105,8 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
     def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(pdf["part_id"].iloc[0])
         source = str(pdf["source"].iloc[0])
-        h = pdf[pdf["kind"] == KIND_NTOK]
-        t = pdf[pdf["kind"] == KIND_TOKEN]
+        h = pdf[pdf["kind"] == 0]  # KIND_NTOK
+        t = pdf[pdf["kind"] == 1]  # KIND_TOKEN
         n_docs = float(h["cnt"].sum())
         q = quantiles.get(source)
         ks = (

@@ -62,6 +62,10 @@ class RuleContext:
     reference_profiles: DataFrame | None = None
     part_ids: list[int] | None = None  # known partitions (skips a distinct())
     params: dict = field(default_factory=dict)
+    # shared token-scan partials (plans/shared.py): when the runner provides
+    # this, drift and column_stats consume ONE physical pass over `tokens`
+    # instead of scanning the dominant column once per rule
+    shared: object | None = None
 
 
 @dataclass(frozen=True)

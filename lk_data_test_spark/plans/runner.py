@@ -70,12 +70,22 @@ class ValidationRunner:
             return SuiteResult([], empty, [], skipped)
 
         df = self.table.read_partitions(self.spark, pending)
+        # ONE shared physical pass over `tokens` (the dominant column) serves
+        # both drift (kinds 0/1) and column_stats (kinds 2/3); persisted so
+        # whichever rule thread triggers it first materializes it for both
+        # (BlockManager locks dedupe concurrent partition computation).
+        from .shared import SharedTokenStats
+
+        shared = SharedTokenStats.from_profiles(
+            df, self.reference_profiles
+        ).persist()
         ctx = RuleContext(
             spark=self.spark,
             allowed_sources=self.allowed_sources,
             reference_profiles=self.reference_profiles,
             part_ids=pending,
             params=self.params,
+            shared=shared,
         )
 
         # Rules are independent plans over the same scan: evaluate them
@@ -83,31 +93,62 @@ class ValidationRunner:
         # fixed per-job costs (python-worker spin-up, codegen, scheduling
         # latency) amortize across rules and the executor cores stay full.
         # Spark job submission is thread-safe; outputs keep rule order.
+        # Each rule's violations are persisted so that plans consumed twice
+        # (once inside the verdict aggregation, once by the sink) run ONCE —
+        # without this the sink silently re-runs every rule's full scan.
         from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import StorageLevel
 
         def eval_rule(rule: Rule):
             res = rule.evaluate(df, ctx)
-            return [r.asDict() for r in res.verdicts.collect()], res.violations
+            viol = res.violations.persist(StorageLevel.MEMORY_AND_DISK)
+            return [r.asDict() for r in res.verdicts.collect()], viol, res.stats
 
         with ThreadPoolExecutor(max_workers=max(1, len(self.rules))) as ex:
             results = list(ex.map(eval_rule, self.rules))
 
         verdict_rows: list[dict] = []
         violation_frames: list[DataFrame] = []
-        for rows, viol in results:
+        stats_frames: list[DataFrame] = []
+        for rows, viol, stats in results:
             verdict_rows.extend(rows)
             violation_frames.append(viol)
+            if stats is not None:
+                stats_frames.append(stats)
 
         violations = canonical_violations(_union_all(violation_frames))
         if self.output_dir:
+            out_path = os.path.join(self.output_dir, "violations")
+            # one shuffle of only the violation rows; deterministic file
+            # content via sortWithinPartitions (a global orderBy would add a
+            # range exchange + full sort for ordering the writer discards)
             (
-                violations.write.mode("overwrite")
+                _union_all(violation_frames)
+                .repartition("part_id")
+                .sortWithinPartitions("part_id", "rule_id", "doc_id", "detail")
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("part_id")
-                .parquet(os.path.join(self.output_dir, "violations"))
+                .parquet(out_path)
+            )
+            # hand back the materialized sink instead of the live plan: later
+            # consumers (reports, fixture compares) re-read parquet rather
+            # than re-running five rule plans
+            cols = [f.name for f in violations.schema.fields]
+            violations = (
+                self.spark.read.parquet(out_path)
+                .select(*cols)
+                .orderBy("part_id", "rule_id", "doc_id", "detail")
             )
 
         rows_validated = df.count()
+        shared.unpersist()
+        for fr in violation_frames + stats_frames:
+            try:
+                fr.unpersist()
+            except Exception:
+                pass
 
         # manifest update: per-part verdict = all rules passed
         by_part: dict[int, dict[str, dict]] = {}

@@ -1,0 +1,222 @@
+"""Shared token-scan intermediates — one physical pass over the `tokens`
+column serving every rule that needs it.
+
+`tokens` is ~99% of the table's bytes. Without sharing, column_stats reads it
+for `size(tokens)` and drift reads it again for token frequencies: two full
+decompressions of the dominant column per suite run. This module computes ONE
+Arrow-native pass emitting tagged, mergeable partials that both rules consume
+(the engine-level analog of a shared CTE / common-subplan reuse):
+
+    kind 0  n_tok histogram        key = n_tok value      cnt = rows
+    kind 1  token frequency        key = token id         cnt = occurrences
+    kind 2  len-mismatch rows      key = 0                cnt = rows with n_tok != size(tokens)
+    kind 3  null-tokens rows       key = 0                cnt = rows with tokens IS NULL
+
+Kinds 0/1 are drift's signals and are emitted only for non-null sources (a
+null source has no reference profile; such rows still count in kinds 2/3).
+
+Vectorization: `mapInArrow` hands us pyarrow RecordBatches; the token lists
+are consumed as (lengths, flat values) — no per-row ndarray conversion, no
+per-group Python loop. Group labels are factorized once per batch and pushed
+into flat-token space with `np.repeat`; all counting is `np.bincount` /
+`np.unique` over combined integer keys. Python cost is O(batch) numpy kernels.
+
+Scale: each task emits <= |groups| x (|ref tokens| + |distinct n_tok|) partial
+rows per batch regardless of row width; the groupBy that merges partials is a
+partial-aggregated shuffle of those tiny rows only. Token arrays cross into
+Arrow unfiltered on purpose: the raw int32 buffer moves at memcpy speed and a
+numpy mask beats a codegen'd per-element JVM F.filter ~3x (measured on 38M
+rows); nothing is ever shuffled at token granularity either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KIND_NTOK = 0
+KIND_TOKEN = 1
+KIND_LEN_MISMATCH = 2
+KIND_NULL_TOKENS = 3
+
+PARTIAL_SCHEMA = "part_id int, source string, kind int, key long, cnt long"
+
+_NTOK_BITS = np.int64(33)
+_NTOK_MASK = np.int64((1 << 33) - 1)
+
+
+class SharedTokenStats:
+    """Lazily-built, optionally persisted partials DataFrame."""
+
+    def __init__(self, df: DataFrame, lo: int, hi: int, contiguous: bool,
+                 ref_tokens: list[int] | None = None):
+        self.lo = int(lo)
+        self.hi = int(hi)
+        self.contiguous = bool(contiguous)
+        self.ref_tokens = ref_tokens
+        self._partials = _build_partials(df, self.lo, self.hi, self.contiguous,
+                                         ref_tokens)
+
+    @classmethod
+    def from_profiles(cls, df: DataFrame, profiles: DataFrame) -> "SharedTokenStats":
+        ref_tokens = sorted(
+            {t for r in profiles.select("token_freq").collect() for t in r[0]}
+        )
+        lo, hi = ref_tokens[0], ref_tokens[-1]
+        contiguous = ref_tokens == list(range(lo, hi + 1))
+        return cls(df, lo, hi, contiguous, None if contiguous else ref_tokens)
+
+    @property
+    def partials(self) -> DataFrame:
+        return self._partials
+
+    def persist(self) -> "SharedTokenStats":
+        from pyspark import StorageLevel
+
+        self._partials = self._partials.persist(StorageLevel.MEMORY_AND_DISK)
+        return self
+
+    def unpersist(self) -> None:
+        try:
+            self._partials.unpersist()
+        except Exception:
+            pass
+
+
+def _decode_ntok(masked: np.ndarray) -> np.ndarray:
+    """Undo the 33-bit two's-complement packing of n_tok keys."""
+    out = masked.astype(np.int64)
+    neg = out >= np.int64(1 << 32)
+    out[neg] -= np.int64(1 << 33)
+    return out
+
+
+def _build_partials(
+    df: DataFrame,
+    lo: int,
+    hi: int,
+    contiguous: bool,
+    ref_tokens: list[int] | None,
+) -> DataFrame:
+    span = hi - lo + 1
+    # Domain filtering happens in numpy, not the JVM: a codegen'd F.filter
+    # over 4e9 array elements costs ~3x the whole vectorized numpy mask, and
+    # Arrow moves the raw int32 buffer essentially at memcpy speed (measured:
+    # JVM-filter path 24s vs full-transfer+numpy-mask 17s on 38M rows/16c).
+    src = df.select(
+        "part_id",
+        "source",
+        "n_tok",
+        # -1 encodes NULL arrays portably (ANSI mode makes size(NULL) = NULL)
+        F.coalesce(F.size("tokens"), F.lit(-1)).alias("tok_sz"),
+        "tokens",
+    )
+    ref_np = (
+        np.asarray(ref_tokens, dtype=np.int64) if ref_tokens is not None else None
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            pid = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            src_arr = b.column(1)
+            ntok = b.column(2).to_numpy(zero_copy_only=False)  # float+NaN if nulls
+            tok_sz = b.column(3).to_numpy(zero_copy_only=False).astype(np.int64)
+            lists = b.column(4)
+
+            # group labels: factorize (part_id, source) — vectorized.
+            # null sources get the sentinel code n_src (kinds 2/3 only).
+            d = pc.dictionary_encode(src_arr)
+            idx = d.indices.to_numpy(zero_copy_only=False)
+            n_src = len(d.dictionary)
+            src_codes = np.where(np.isnan(idx), n_src, idx).astype(np.int64) \
+                if idx.dtype.kind == "f" else idx.astype(np.int64)
+            src_uniq = np.empty(n_src + 1, dtype=object)
+            src_uniq[:n_src] = d.dictionary.to_pylist()
+            src_uniq[n_src] = None
+            combo = pid * (n_src + 1) + src_codes
+            uniq_combo, ginv = np.unique(combo, return_inverse=True)
+            ng = len(uniq_combo)
+            g_pid = (uniq_combo // (n_src + 1)).astype(np.int32)
+            g_src_code = (uniq_combo % (n_src + 1)).astype(np.int64)
+            g_src = src_uniq[g_src_code]
+            g_src_ok = g_src_code < n_src  # groups with a real (non-null) source
+            row_src_ok = src_codes < n_src
+
+            out = {k: [] for k in ("pid", "src", "kind", "key", "cnt")}
+
+            def emit(gidx: np.ndarray, kind: int, key: np.ndarray, cnt: np.ndarray):
+                out["pid"].append(g_pid[gidx])
+                out["src"].append(g_src[gidx])
+                out["kind"].append(np.full(len(gidx), kind, dtype=np.int32))
+                out["key"].append(np.asarray(key, dtype=np.int64))
+                out["cnt"].append(np.asarray(cnt, dtype=np.int64))
+
+            # ---- kind 0: n_tok histogram (non-null n_tok, non-null source) -
+            valid = ~np.isnan(ntok) if ntok.dtype.kind == "f" else np.ones(n, bool)
+            m0 = valid & row_src_ok
+            nt = ntok[m0].astype(np.int64)
+            if nt.size:
+                comb = (ginv[m0] << _NTOK_BITS) | (nt & _NTOK_MASK)
+                u, c = np.unique(comb, return_counts=True)
+                emit((u >> _NTOK_BITS).astype(np.int64), KIND_NTOK,
+                     _decode_ntok(u & _NTOK_MASK), c)
+
+            # ---- kind 1: token counts via flat values + lengths ------------
+            lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+            lengths = np.nan_to_num(lengths, nan=0.0).astype(np.int64)
+            flat = lists.flatten().to_numpy(zero_copy_only=False)
+            rep = np.repeat(ginv, lengths)
+            keep = (flat >= lo) & (flat <= hi)
+            if not row_src_ok.all():
+                keep &= np.repeat(row_src_ok, lengths)
+            if ref_np is not None and flat.size:
+                keep &= np.isin(flat, ref_np)
+            flat = flat[keep].astype(np.int64)
+            rep = rep[keep]
+            if flat.size:
+                comb = rep * span + (flat - lo)
+                bc = np.bincount(comb, minlength=ng * span)
+                nz = np.nonzero(bc)[0]
+                emit(nz // span, KIND_TOKEN, nz % span + lo, bc[nz])
+
+            # ---- kind 2: len mismatch (n_tok set and != original size) ----
+            m2 = valid & (tok_sz >= 0)
+            m2[m2] &= ntok[m2].astype(np.int64) != tok_sz[m2]
+            if m2.any():
+                bc = np.bincount(ginv[m2], minlength=ng)
+                nz = np.nonzero(bc)[0]
+                emit(nz, KIND_LEN_MISMATCH, np.zeros(len(nz)), bc[nz])
+
+            # ---- kind 3: null token arrays ---------------------------------
+            nulls = tok_sz < 0
+            if nulls.any():
+                bc = np.bincount(ginv[nulls], minlength=ng)
+                nz = np.nonzero(bc)[0]
+                emit(nz, KIND_NULL_TOKENS, np.zeros(len(nz)), bc[nz])
+
+            if not out["pid"]:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out["pid"]), type=pa.int32()),
+                    pa.array(np.concatenate(out["src"]), type=pa.string()),
+                    pa.array(np.concatenate(out["kind"]), type=pa.int32()),
+                    pa.array(np.concatenate(out["key"]), type=pa.int64()),
+                    pa.array(np.concatenate(out["cnt"]), type=pa.int64()),
+                ],
+                names=["part_id", "source", "kind", "key", "cnt"],
+            )
+
+    return (
+        src.mapInArrow(gen, PARTIAL_SCHEMA)
+        .groupBy("part_id", "source", "kind", "key")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

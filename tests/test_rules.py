@@ -123,3 +123,36 @@ def test_schema_check(ctx_df):
     assert _failing(res2.verdicts) == set(ctx.part_ids)
     v = res2.violations.collect()
     assert len(v) == len(defects) * len(ctx.part_ids)
+
+
+def test_shared_scan_matches_legacy(ctx_df):
+    """column_stats/drift through the shared token scan must produce exactly
+    the per-partition stats and verdicts of their standalone (legacy) plans."""
+    from lk_data_test_spark.operators.column_stats import partition_stats
+    from lk_data_test_spark.plans.rules import RuleContext
+    from lk_data_test_spark.plans.shared import SharedTokenStats
+
+    ctx, df = ctx_df
+    shared = SharedTokenStats.from_profiles(df, ctx.reference_profiles)
+
+    legacy = {r["part_id"]: r.asDict() for r in partition_stats(df, 4, 64).collect()}
+    fused = {
+        r["part_id"]: r.asDict()
+        for r in partition_stats(df, 4, 64, shared=shared).collect()
+    }
+    assert legacy.keys() == fused.keys()
+    for pid in legacy:
+        assert legacy[pid] == fused[pid], f"part {pid}"
+
+    shared_ctx = RuleContext(
+        spark=ctx.spark,
+        allowed_sources=ctx.allowed_sources,
+        reference_profiles=ctx.reference_profiles,
+        part_ids=ctx.part_ids,
+        shared=shared,
+    )
+    a = {(r["part_id"]): (r["passed"], round(r["metric"], 9))
+         for r in drift.evaluate(df, ctx).verdicts.collect()}
+    b = {(r["part_id"]): (r["passed"], round(r["metric"], 9))
+         for r in drift.evaluate(df, shared_ctx).verdicts.collect()}
+    assert a == b
