@@ -156,3 +156,31 @@ def test_shared_scan_matches_legacy(ctx_df):
     b = {(r["part_id"]): (r["passed"], round(r["metric"], 9))
          for r in drift.evaluate(df, shared_ctx).verdicts.collect()}
     assert a == b
+
+
+def test_shared_scan_noncontiguous_vocab(spark):
+    """Token counting against a non-contiguous reference vocab: tokens not in
+    the vocab are excluded; counts are exact (exercises the sorted-membership
+    branch of the chunked kernel)."""
+    from lk_data_test_spark.plans.shared import KIND_TOKEN, SharedTokenStats
+
+    rows = [
+        ("a", [5, 5, 9, 12, 7], 5, "s1", 0),    # 7 not in vocab
+        ("b", [9, 9, 9, 100], 4, "s1", 0),      # 100 out of range
+        ("c", [12, 5, 3], 3, "s2", 0),          # 3 below lo
+        ("d", None, None, None, 1),             # null source/tokens ignored
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string,"
+        " part_id int"
+    )
+    stats = SharedTokenStats(df, lo=5, hi=12, contiguous=False,
+                             ref_tokens=[5, 9, 12])
+    got = {
+        (r["part_id"], r["source"], r["key"]): r["cnt"]
+        for r in stats.partials.filter(F.col("kind") == KIND_TOKEN).collect()
+    }
+    assert got == {
+        (0, "s1", 5): 2, (0, "s1", 9): 4, (0, "s1", 12): 1,
+        (0, "s2", 5): 1, (0, "s2", 12): 1,
+    }
