@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--parts", type=int, default=16)
     ap.add_argument("--rows-per-part", type=int, default=2000)
     ap.add_argument("--cores", default=None)
+    ap.add_argument(
+        "--generate-only",
+        action="store_true",
+        help="generate the corpus and exit (lets a bench pre-build data at "
+        "full parallelism, then measure at reduced parallelism)",
+    )
     ap.add_argument("--force", action="store_true", help="ignore checkpoint")
     ap.add_argument(
         "--repeat",
@@ -52,10 +58,13 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = GenConfig(n_parts=args.parts, rows_per_part=args.rows_per_part)
     seq_path = os.path.join(args.data_dir, "sequences")
-    if args.generate and not os.path.exists(seq_path):
+    if (args.generate or args.generate_only) and not os.path.exists(seq_path):
         t0 = time.time()
         generate(spark, args.data_dir, cfg)
         print(f"generated corpus in {time.time() - t0:.1f}s", file=sys.stderr)
+    if args.generate_only:
+        print(json.dumps({"generated": seq_path}))
+        return 0
 
     runner = ValidationRunner(
         spark,

@@ -1234,6 +1234,33 @@ def embedding_ann_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+# Per-row array-equality invariant as a portable digest (the oracle-checkable
+# analog of the engine's xxhash64 token digest, SURVEY.md §7.2 `token_eq`;
+# runner.token_digests is the engine-side variant): md5 of the canonical
+# comma-joined quantized array — byte-identical across Spark and DuckDB.
+@query(
+    "embedding_digest_invariant",
+    """
+    SELECT vec_id,
+           md5(array_to_string(list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT) AS VARCHAR)),
+             ',')) AS digest
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def embedding_digest_invariant(spark, sf_dir):
+    from .functions.arrays import quantized
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = quantized(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.md5(
+            F.array_join(F.transform(qv, lambda x: x.cast("string")), ",")
+        ).alias("digest"),
+    ).orderBy("vec_id")
+
+
 # ===========================================================================
 # Core engine rules over a generated sequences corpus — rows-only (the SQL
 # oracle can't express HLL screens / KS statistics; pytest covers these

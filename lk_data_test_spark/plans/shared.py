@@ -182,19 +182,22 @@ def _build_partials(
             lengths = np.nan_to_num(lengths, nan=0.0).astype(np.int64)
             flat = lists.flatten().to_numpy(zero_copy_only=False)
             span1 = span + 1  # last slot per group = out-of-domain sentinel
-            # group id per flat position found by binary search on row offsets
             offsets = np.empty(n + 1, dtype=np.int64)
             offsets[0] = 0
             np.cumsum(lengths, out=offsets[1:])
             grp = np.where(row_src_ok, ginv, -1)  # -1 = null-source row
             acc = np.zeros(ng * span1, dtype=np.int64)
-            total = int(offsets[-1])
             CHUNK = 1 << 20
-            for start in range(0, total, CHUNK):
-                end = min(start + CHUNK, total)
-                pos = np.arange(start, end, dtype=np.int64)
-                rows = np.searchsorted(offsets, pos, side="right") - 1
-                g = grp[rows]
+            row = 0
+            while row < n:
+                # widest row block whose token total fits the chunk budget
+                row_end = int(
+                    np.searchsorted(offsets, offsets[row] + CHUNK, side="right")
+                ) - 1
+                row_end = max(row_end, row + 1)
+                start, end = int(offsets[row]), int(offsets[row_end])
+                g = np.repeat(grp[row:row_end], lengths[row:row_end])
+                row = row_end
                 fl = flat[start:end].astype(np.int64)
                 rel = fl - lo
                 oob = (rel < 0) | (rel >= span)

@@ -13,11 +13,13 @@ BENCH/BASELINE.md with BOTH conventions:
   data": executors-per-byte held constant): 8 cores on X rows vs 32 cores on
   4X rows; eff_weak = tput_32(4X) / (4 * tput_8(X)) = T_8(X) / T_32(4X).
 
-Each measurement is the LAST of --repeat in-JVM runs: steady-state, as on a
-long-lived cluster — run 1 pays JVM startup, python-worker spawn, codegen,
-parquet footer caching, and (in this Firecracker sandbox) first-touch
-host-memory faulting, which would otherwise dominate and is not what the
-criterion is about.
+Each measurement is the MEDIAN of --repeat in-JVM runs. Run 1 pays JVM
+startup, python-worker spawn, codegen, parquet footer caching, and (in this
+Firecracker sandbox) first-touch host-memory faulting; later runs are steady
+state but this host's vCPUs are oversubscribed by the hypervisor, so
+individual runs swing +-40% with outside load — the median is robust to a
+single contended (or lucky) run in either direction. All raw run times are
+recorded alongside.
 """
 
 from __future__ import annotations
@@ -53,7 +55,7 @@ def _engine_zip() -> str:
     return zpath
 
 
-def run_at(cores: int, rows: int) -> dict:
+def _submit(cores: int, rows: int, extra_args: list[str]) -> dict:
     out = subprocess.run(
         [
             "spark-submit",
@@ -72,17 +74,14 @@ def run_at(cores: int, rows: int) -> dict:
             os.path.join(REPO, "lk_data_test_spark", "cli.py"),
             "--data-dir",
             _data_dir(rows),
-            "--generate",
             "--parts",
             str(PARTS),
             "--rows-per-part",
             str(rows),
-            "--force",
             "--cores",
             str(cores),
-            "--repeat",
-            str(REPEAT),
-        ],
+        ]
+        + extra_args,
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -92,13 +91,34 @@ def run_at(cores: int, rows: int) -> dict:
         print(out.stderr[-4000:], file=sys.stderr)
         raise SystemExit(f"run at local[{cores}] failed")
     last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    r = json.loads(last)
+    return json.loads(last)
+
+
+def pregenerate(rows: int) -> None:
+    """Build the corpus once at full host parallelism — data prep is not part
+    of the measured validation job."""
+    if os.path.exists(os.path.join(_data_dir(rows), "sequences")):
+        return
+    cpus = os.cpu_count() or 32
+    _submit(cpus, rows, ["--generate-only"])
+    print(f"generated {PARTS}x{rows} corpus at local[{cpus}]", file=sys.stderr)
+
+
+def run_at(cores: int, rows: int) -> dict:
+    r = _submit(cores, rows, ["--force", "--repeat", str(REPEAT)])
+    # median-of-repeats (see module docstring); cli reports the last run, so
+    # recompute throughput from the full run_times list
+    times = sorted(r["run_times_sec"])
+    r["elapsed_sec"] = times[len(times) // 2]
+    r["sequences_per_sec"] = round(r["rows_validated"] / r["elapsed_sec"], 1)
     print(f"local[{cores}] x {PARTS}x{rows}: {r}", file=sys.stderr)
     return r
 
 
 def main() -> int:
     small = ROWS // 4
+    pregenerate(small)
+    pregenerate(ROWS)
     rn_small = run_at(N_CORES, small)   # N cores, X rows   (weak baseline)
     rn_big = run_at(N_CORES, ROWS)      # N cores, 4X rows  (strong baseline)
     r4n_big = run_at(N4_CORES, ROWS)    # 4N cores, 4X rows (both)
@@ -115,11 +135,13 @@ north_rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. No real cluster exists in this sandbox; evidence is the full
 validation rule suite (schema, column_stats, uniqueness, referential, drift)
 launched via `spark-submit --py-files` in a fresh JVM per measurement, at two
-parallelism levels on the 32-core host. Each number is the LAST of {REPEAT}
-in-JVM runs (steady state; run 1 pays JVM/python-worker/codegen startup and
-this sandbox's first-touch host-memory faulting).
+parallelism levels on the 32-core host. Each number is the MEDIAN of {REPEAT}
+in-JVM runs (run 1 pays JVM/python-worker/codegen startup and this sandbox's
+first-touch host-memory faulting; the host's vCPUs are oversubscribed, so
+single runs swing +-40% with outside load — all raw runs are listed below).
+Corpora are pre-generated at full host parallelism; only validation is timed.
 
-| configuration | input (rows) | elapsed (s) | validated seq/s |
+| configuration | input (rows) | elapsed (s, median of {REPEAT}) | validated seq/s |
 |---|---|---|---|
 | local[{N_CORES}]  (N)  | {PARTS}x{small} = {PARTS * small:,} | {rn_small["elapsed_sec"]} | {tns:,.0f} |
 | local[{N_CORES}]  (N)  | {PARTS}x{ROWS} = {PARTS * ROWS:,} | {rn_big["elapsed_sec"]} | {tnb:,.0f} |
