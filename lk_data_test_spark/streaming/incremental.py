@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.rules import RuleContext, canonical_violations, default_rules
@@ -84,6 +85,61 @@ def validate_stream(
     return (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_violation_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    allowed_sources: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int = 4,
+):
+    """Watermarked windowed aggregation over a violation event stream.
+
+    The late-data tier on top of :func:`validate_stream`: sequence files
+    carrying an ``ingested_at`` event time are checked against the
+    allowed-sources dimension (broadcast left-anti — same plan as the batch
+    referential rule) and the per-(window, source) violation counts are
+    maintained with a watermark, so late files update their window until the
+    watermark passes and the state is dropped — bounded state at any corpus
+    rate. Output mode ``append`` emits each window exactly once, when final.
+
+    Returns the StreamingQuery; results land in ``output_dir`` as parquet
+    ``(window_start, window_end, source, n_violations)``.
+    """
+    schema = T.StructType(
+        SEQ_STREAM_SCHEMA.fields
+        + [T.StructField("ingested_at", T.TimestampType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    active = allowed_sources.filter(F.col("active")).select("source")
+    violating = stream.join(F.broadcast(active), "source", "left_anti")
+    counts = (
+        violating.withWatermark("ingested_at", watermark)
+        .groupBy(F.window("ingested_at", window), "source")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "source",
+            "n_violations",
+        )
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

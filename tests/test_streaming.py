@@ -1,7 +1,14 @@
 from __future__ import annotations
 
+import datetime as dt
+import os
+import time
+
 from lk_data_test_spark.datagen import expected_failing_parts
-from lk_data_test_spark.streaming.incremental import validate_stream
+from lk_data_test_spark.streaming.incremental import (
+    validate_stream,
+    windowed_violation_counts,
+)
 from tests.conftest import TEST_CFG
 
 EXPECTED = expected_failing_parts(TEST_CFG)
@@ -39,3 +46,66 @@ def test_stream_validation_matches_batch(spark, corpus_dir, tmp_path):
         }
         assert got == EXPECTED[rule], rule
     assert failing >= ALL_FAILING - EXPECTED["drift"]
+
+
+def test_windowed_violation_counts_with_watermark(spark, tmp_path):
+    """Late-data tier: per-(window, source) violation counts close exactly
+    once when the watermark passes the window end; a late-but-in-watermark
+    row still lands in its window."""
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def seq_row(i, source, ts):
+        return (f"d{i}", [1, 2, 3], 3, source, 0, ts)
+
+    schema = (
+        "doc_id string, tokens array<int>, n_tok int, source string,"
+        " part_id int, ingested_at timestamp"
+    )
+    allowed = spark.createDataFrame(
+        [("fackel", True), ("retired", False)], "source string, active boolean"
+    )
+    # batch 1: window [12:00, 12:01) — 2 violating rows, 1 allowed row
+    b1 = [
+        seq_row(0, "nope", t0),
+        seq_row(1, "fackel", t0 + dt.timedelta(seconds=10)),
+        seq_row(2, "retired", t0 + dt.timedelta(seconds=50)),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        os.path.join(input_dir, "b1")
+    )
+    time.sleep(1.1)  # distinct mtimes -> deterministic micro-batch order
+    # batch 2: a late row still inside the 2-minute watermark for window 1,
+    # plus far-future rows that push the watermark past window 1's end
+    b2 = [
+        seq_row(3, "nope", t0 + dt.timedelta(seconds=30)),       # late, kept
+        seq_row(4, "nope", t0 + dt.timedelta(minutes=10)),
+        seq_row(5, "fackel", t0 + dt.timedelta(minutes=10)),
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        os.path.join(input_dir, "b2")
+    )
+
+    q = windowed_violation_counts(
+        spark,
+        input_dir + "/*",
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        allowed_sources=allowed,
+        window="1 minute",
+        watermark="2 minutes",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {
+        (r["window_start"].isoformat(), r["source"]): r["n_violations"]
+        for r in out.collect()
+    }
+    # window 1 closed by the watermark: nope=2 (incl. the late row), retired=1
+    assert rows[("2026-01-01T12:00:00", "nope")] == 2
+    assert rows[("2026-01-01T12:00:00", "retired")] == 1
+    # the 12:10 window is NOT final yet (append mode) — must not be emitted
+    assert not any(k[0].startswith("2026-01-01T12:10") for k in rows)
