@@ -1234,6 +1234,17 @@ def embedding_ann_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+# ANN via IVF inverted lists (coarse-quantizer assignment + probed exact
+# scoring): recall-reducing by design — rows-only; the unit test pins recall
+# vs the brute-force oracle
+@query("embedding_ann_ivf", None)
+def embedding_ann_ivf(spark, sf_dir):
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, n_queries=10, n_centroids=8,
+        n_probe=3,
+    ).orderBy("query_id", "rank")
+
+
 # Per-row array-equality invariant as a portable digest (the oracle-checkable
 # analog of the engine's xxhash64 token digest, SURVEY.md §7.2 `token_eq`;
 # runner.token_digests is the engine-side variant): md5 of the canonical

@@ -77,3 +77,55 @@ def test_string_functions(spark):
     assert r["seg"] == ""  # trailing slash -> empty last segment
     assert r["zp"] == "007"
     assert r["slug"] == "a-b-c"
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    """IVF ANN: probed-list scores are exact (match brute force for the same
+    pair) and recall@5 vs brute force is healthy at n_probe=3 of 8 lists."""
+    from lk_data_test_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = similarity.brute_force_topk(emb, k=5, n_queries=10).collect()
+    ivf = similarity.ivf_topk(
+        emb, k=5, n_queries=10, n_centroids=8, n_probe=3
+    ).collect()
+
+    bf_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf}
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        # any overlap pair must carry the identical exact cosine
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_cos:
+            assert r["cosine"] == bf_cos[key]
+
+    hits = sum(len(bf_sets[q] & ivf_sets.get(q, set())) for q in bf_sets)
+    total = sum(len(s) for s in bf_sets.values())
+    recall = hits / total
+    assert recall >= 0.5, f"recall@5 = {recall:.2f}"
+
+
+def test_plan_shapes(spark, corpus_dir):
+    """The physical plans the engine depends on at 100 TB: partition-pruned
+    scans and broadcast (never shuffled-fact) dimension joins."""
+    from lk_data_test_spark.operators import referential
+    from lk_data_test_spark.plans.rules import RuleContext
+    from lk_data_test_spark.sources.catalog import PartitionedTable
+
+    t = PartitionedTable(f"{corpus_dir}/sequences")
+    pruned = t.read_partitions(spark, [0, 1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_id" in plan
+
+    ctx = RuleContext(
+        spark=spark,
+        allowed_sources=spark.read.parquet(f"{corpus_dir}/allowed_sources"),
+        part_ids=t.partition_ids(),
+    )
+    res = referential.evaluate(t.read(spark), ctx)
+    vplan = res.violations._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in vplan, "anti join must broadcast the dimension"
+    assert "SortMergeJoin" not in vplan

@@ -6,6 +6,7 @@ import time
 
 from lk_data_test_spark.datagen import expected_failing_parts
 from lk_data_test_spark.streaming.incremental import (
+    running_source_stats,
     validate_stream,
     windowed_violation_counts,
 )
@@ -109,3 +110,56 @@ def test_windowed_violation_counts_with_watermark(spark, tmp_path):
     assert rows[("2026-01-01T12:00:00", "retired")] == 1
     # the 12:10 window is NOT final yet (append mode) — must not be emitted
     assert not any(k[0].startswith("2026-01-01T12:10") for k in rows)
+
+
+def test_running_source_stats_state(spark, tmp_path):
+    """applyInPandasWithState: per-source cumulative counts carry across
+    micro-batches (state), and each batch emits the updated totals."""
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    schema = (
+        "doc_id string, tokens array<int>, n_tok int, source string, part_id int"
+    )
+    allowed = spark.createDataFrame(
+        [("fackel", True)], "source string, active boolean"
+    )
+    b1 = [(f"a{i}", [1], 1, "fackel", 0) for i in range(4)] + [
+        ("x0", [1], 1, "nope", 0)
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        os.path.join(input_dir, "b1")
+    )
+    time.sleep(1.1)
+    b2 = [(f"b{i}", [1], 1, "fackel", 0) for i in range(2)] + [
+        ("x1", [1], 1, "nope", 0),
+        ("x2", [1], 1, "nope", 0),
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        os.path.join(input_dir, "b2")
+    )
+
+    emitted: list[dict] = []
+
+    def on_batch(rows, epoch):
+        emitted.extend(rows)
+
+    q = running_source_stats(
+        spark,
+        input_dir + "/*",
+        str(tmp_path / "ckpt"),
+        allowed_sources=allowed,
+        on_batch=on_batch,
+        max_files_per_trigger=1,
+        timeout_ms=None,  # availableNow run: no pending timers to drain
+    )
+    q.awaitTermination(600)
+
+    # final cumulative totals per source (last emitted update wins)
+    final = {r["source"]: r for r in emitted}
+    assert final["fackel"]["total_rows"] == 6
+    assert final["fackel"]["total_violations"] == 0
+    assert final["nope"]["total_rows"] == 3
+    assert final["nope"]["total_violations"] == 3
+    # state carried across >=2 micro-batches for both sources
+    assert final["fackel"]["n_batches"] >= 2
+    assert final["nope"]["n_batches"] >= 2
