@@ -113,9 +113,13 @@ def verdict_from_violations(
 
 
 def canonical_violations(v: DataFrame) -> DataFrame:
-    """Canonical column order + sort for byte-identical fixture compares."""
+    """Canonical column order + sort for byte-identical fixture compares.
+    ``source`` participates because partition-scoped rules (drift) emit one
+    row per source with an empty doc_id."""
     cols = [f.name for f in VIOLATION_SCHEMA.fields]
-    return v.select(*cols).orderBy("part_id", "rule_id", "doc_id", "detail")
+    return v.select(*cols).orderBy(
+        "part_id", "rule_id", "doc_id", "source", "detail"
+    )
 
 
 def default_rules() -> list[Rule]:

@@ -126,7 +126,9 @@ class ValidationRunner:
             (
                 _union_all(violation_frames)
                 .repartition("part_id")
-                .sortWithinPartitions("part_id", "rule_id", "doc_id", "detail")
+                .sortWithinPartitions(
+                    "part_id", "rule_id", "doc_id", "source", "detail"
+                )
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("part_id")
@@ -139,7 +141,7 @@ class ValidationRunner:
             violations = (
                 self.spark.read.parquet(out_path)
                 .select(*cols)
-                .orderBy("part_id", "rule_id", "doc_id", "detail")
+                .orderBy("part_id", "rule_id", "doc_id", "source", "detail")
             )
 
         rows_validated = df.count()
