@@ -1169,6 +1169,33 @@ def simhash_near_dups(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+# Iterative algorithm with an exact oracle: duplicate clustering = connected
+# components over the Jaccard near-dup graph. Spark side = hash-to-min label
+# propagation (one shuffle per round); DuckDB side = recursive-CTE transitive
+# closure + min label. Both operate on the SAME pair set (the shingle CTE).
+@query(
+    "dup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+          UNION ALL
+          SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM e
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS component
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def dup_clusters(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=20
+    )
+    return dedup.dup_clusters(pairs).orderBy("doc_id")
+
+
 # ===========================================================================
 # Similarity search (operators/similarity.py)
 # ===========================================================================

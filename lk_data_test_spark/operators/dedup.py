@@ -281,6 +281,59 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Cluster near-dup pairs into components: (doc_id, component) where
+    component = min doc_id reachable — so "keep one per duplicate cluster"
+    is a filter ``doc_id == component``.
+
+    Hash-to-min label propagation: every node starts labeled with itself;
+    each round pushes labels across edges and keeps the min per node, until a
+    fixpoint. Near-dup clusters have tiny diameters (duplicates of a common
+    ancestor), so this converges in ~O(log |largest cluster|) rounds; each
+    round is ONE shuffle keyed by node id, and ``localCheckpoint`` cuts the
+    growing lineage so round N's plan doesn't replay rounds 1..N-1. The
+    reference's analog is its running-dedup list (``/root/reference/scripts/
+    make_texts.py:373-374,512-517``) — exact-key only; this generalizes to
+    transitive near-dup identity.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.withColumnRenamed("src", "id").join(labels, "id").select(
+            F.col("dst").alias("id"), "comp"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -129,3 +129,37 @@ def test_plan_shapes(spark, corpus_dir):
     vplan = res.violations._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in vplan, "anti join must broadcast the dimension"
     assert "SortMergeJoin" not in vplan
+
+
+def test_dup_clusters_known_graph(spark):
+    """Connected components on a known graph: two chains and a singleton-free
+    pair; labels converge to the min doc_id per component."""
+    from lk_data_test_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component"] for r in dup_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_column_stats_shared_path_never_reads_tokens(spark, corpus_dir):
+    """With the suite's shared token scan, the column_stats aggregation plan
+    must scan only the narrow columns (tokens pruned out of ReadSchema)."""
+    from lk_data_test_spark.operators.column_stats import partition_stats_no_tokens
+    from lk_data_test_spark.sources.catalog import PartitionedTable
+
+    df = PartitionedTable(f"{corpus_dir}/sequences").read(spark)
+    plan = (
+        partition_stats_no_tokens(df, 4, 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and all("tokens" not in ln for ln in scan)
