@@ -52,7 +52,34 @@ DEFAULTS = {
     "ks_threshold": 0.18,
     "l1_threshold": 0.20,
     "min_docs": 300,  # groups smaller than this are too noisy to judge
+    # "hist": exact ECDF from the bounded-int histogram (strictly better for
+    # n_tok's small-int domain). "tdigest": fold the same weighted histogram
+    # into a mergeable t-digest (functions/tdigest.py) and take the KS
+    # distance from its interpolated CDF — the path for unbounded real-valued
+    # drift columns, where an exact histogram has no bounded size.
+    "method": "hist",
 }
+
+def _ks_from_tdigest(
+    values: np.ndarray, counts: np.ndarray, quantiles: np.ndarray
+) -> float:
+    """KS sup-distance via a t-digest built from the weighted histogram: the
+    sketch path (north-star wording) — identical inputs to _ks_from_hist, CDF
+    interpolated from <=128 centroids instead of the exact ECDF."""
+    from ..functions.tdigest import TDigest
+
+    order = np.argsort(values)
+    d = TDigest()
+    d.means = values[order].astype(np.float64)
+    d.weights = counts[order].astype(np.float64)
+    d._compress()
+    # sup distance sampled where the reference CDF steps (its 99 quantiles)
+    # and where the digest holds mass (its centroid means)
+    probes = np.unique(np.concatenate([quantiles, d.means]))
+    f_obs = d.cdf(probes)
+    f_ref = np.searchsorted(quantiles, probes, side="right") / 100.0
+    return float(np.max(np.abs(f_obs - f_ref)))
+
 
 def _ks_from_hist(values: np.ndarray, counts: np.ndarray, quantiles: np.ndarray) -> float:
     """KS sup-distance between a histogram ECDF and a 99-quantile profile."""
@@ -102,6 +129,8 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
     ref_idx = {t: i for i, t in enumerate(ref_tokens)}
     n_ref = len(ref_tokens)
 
+    ks_fn = _ks_from_tdigest if p["method"] == "tdigest" else _ks_from_hist
+
     def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(pdf["part_id"].iloc[0])
         source = str(pdf["source"].iloc[0])
@@ -110,7 +139,7 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
         n_docs = float(h["cnt"].sum())
         q = quantiles.get(source)
         ks = (
-            _ks_from_hist(h["key"].to_numpy(), h["cnt"].to_numpy(), q)
+            ks_fn(h["key"].to_numpy(), h["cnt"].to_numpy(), q)
             if q is not None and len(h)
             else 0.0
         )

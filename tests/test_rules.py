@@ -91,6 +91,25 @@ def test_drift(ctx_df):
     assert v and all(r["part_id"] in EXPECTED["drift"] for r in v)
 
 
+def test_drift_tdigest_method_agrees(ctx_df):
+    """The t-digest sketch path (unbounded-domain tier) flags the same
+    partitions as the exact-histogram path, with close KS scores."""
+    ctx, df = ctx_df
+    td_ctx = RuleContext(
+        spark=ctx.spark,
+        allowed_sources=ctx.allowed_sources,
+        reference_profiles=ctx.reference_profiles,
+        part_ids=ctx.part_ids,
+        params={"drift": {"method": "tdigest"}},
+    )
+    res = drift.evaluate(df, td_ctx)
+    assert _failing(res.verdicts) == EXPECTED["drift"]
+    hist = {r["part_id"]: r["metric"] for r in drift.evaluate(df, ctx).verdicts.collect()}
+    td = {r["part_id"]: r["metric"] for r in res.verdicts.collect()}
+    for pid in hist:
+        assert abs(hist[pid] - td[pid]) < 0.25 * max(1.0, hist[pid]), pid
+
+
 def test_violations_are_column_pruned(ctx_df):
     """The referential plan must never read the `tokens` column."""
     ctx, df = ctx_df
