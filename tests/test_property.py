@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the pure numeric kernels — no Spark
+session needed, so these run in milliseconds. The reference has no
+property-based testing (SURVEY.md §5); these guard the engine's custom math
+where a unit fixture can't cover the input space."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lk_data_test_spark.functions.tdigest import TDigest
+
+finite = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=2000))
+def test_tdigest_quantiles_bounded_by_minmax(xs):
+    d = TDigest.of(np.array(xs))
+    qs = d.quantile(np.array([0.0, 0.25, 0.5, 0.75, 1.0]))
+    assert np.all(qs >= min(xs) - 1e-9) and np.all(qs <= max(xs) + 1e-9)
+    assert np.all(np.diff(qs) >= -1e-9)  # monotone in q
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(finite, min_size=1, max_size=1000),
+    st.lists(finite, min_size=1, max_size=1000),
+)
+def test_tdigest_merge_conserves_mass_and_median_error(a, b):
+    da, db = TDigest.of(np.array(a)), TDigest.of(np.array(b))
+    merged = da.merge(db)
+    assert merged.weights.sum() == len(a) + len(b)
+    # merged median within the combined value range and near the true median
+    # rank: its CDF at the true median must be within centroid resolution
+    true_med = float(np.median(np.concatenate([a, b])))
+    cdf = float(merged.cdf(np.array([true_med]))[0])
+    assert 0.5 - 0.26 <= cdf <= 0.5 + 0.26
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=500))
+def test_tdigest_serialization_roundtrip(xs):
+    d = TDigest.of(np.array(xs))
+    rt = TDigest.from_bytes(d.to_bytes())
+    probe = np.array([0.1, 0.5, 0.9])
+    assert np.allclose(rt.quantile(probe), d.quantile(probe), equal_nan=True)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=400),
+       st.integers(min_value=0, max_value=60))
+def test_ks_hist_matches_naive_ecdf(values, shift):
+    """_ks_from_hist on a weighted histogram == the naive per-row ECDF KS."""
+    from lk_data_test_spark.operators.drift import _ks_from_hist
+
+    quantiles = np.sort(np.random.default_rng(7).uniform(0, 50, 99)) + shift
+    if not values:
+        return
+    v = np.asarray(values, dtype=np.int64)
+    uniq, cnt = np.unique(v, return_counts=True)
+    got = _ks_from_hist(uniq, cnt, quantiles)
+
+    # naive: evaluate ECDF jumps row by row
+    s = np.sort(v)
+    n = len(s)
+    f_ref = np.searchsorted(quantiles, s, side="right") / 100.0
+    ecdf_hi = np.arange(1, n + 1) / n
+    # ECDF lower value at each sorted point = rank of first equal element / n
+    first_idx = np.searchsorted(s, s, side="left")
+    ecdf_lo = first_idx / n
+    naive = max(np.max(np.abs(ecdf_hi - f_ref)), np.max(np.abs(ecdf_lo - f_ref)))
+    assert abs(got - naive) < 1e-9
