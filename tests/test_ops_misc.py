@@ -131,6 +131,22 @@ def test_plan_shapes(spark, corpus_dir):
     assert "SortMergeJoin" not in vplan
 
 
+def test_uniqueness_exact_pass_is_partition_pruned(spark, corpus_dir):
+    """The exact duplicate pass must rescan ONLY the HLL-flagged partitions:
+    its scan carries a part_id partition filter, so clean partitions' files
+    are never opened twice."""
+    from lk_data_test_spark.operators import uniqueness
+    from lk_data_test_spark.plans.rules import RuleContext
+    from lk_data_test_spark.sources.catalog import PartitionedTable
+
+    t = PartitionedTable(f"{corpus_dir}/sequences")
+    ctx = RuleContext(spark=spark, part_ids=t.partition_ids())
+    res = uniqueness.evaluate(t.read(spark), ctx)
+    plan = res.violations._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans and all("part_id" in ln for ln in scans)
+
+
 def test_dup_clusters_known_graph(spark):
     """Connected components on a known graph: two chains and a singleton-free
     pair; labels converge to the min doc_id per component."""
