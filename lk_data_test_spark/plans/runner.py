@@ -145,6 +145,36 @@ class ValidationRunner:
             )
 
         rows_validated = df.count()
+        if self.output_dir:
+            # S5/S6 analogs: verdict table + JSON metrics manifest alongside
+            # the violations sink (reference: rdf/*.json report files,
+            # check_fackel_references.py:36-37,59-60)
+            import json as _json
+
+            self.spark.createDataFrame(
+                [
+                    (
+                        int(v["part_id"]), str(v["rule_id"]), bool(v["passed"]),
+                        float(v["metric"] or 0.0), float(v["threshold"] or 0.0),
+                    )
+                    for v in verdict_rows
+                ],
+                "part_id int, rule_id string, passed boolean, metric double,"
+                " threshold double",
+            ).coalesce(1).sortWithinPartitions("rule_id", "part_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.output_dir, "verdicts"))
+            metrics = {
+                "rows_validated": rows_validated,
+                "ran_parts": sorted(int(p) for p in pending),
+                "skipped_parts": [int(p) for p in skipped],
+                "failed_parts": sorted(
+                    {int(v["part_id"]) for v in verdict_rows if not v["passed"]}
+                ),
+                "rules": {r.rule_id: r.version for r in self.rules},
+            }
+            with open(os.path.join(self.output_dir, "metrics.json"), "w") as f:
+                _json.dump(metrics, f, indent=1, sort_keys=True)
         shared.unpersist()
         for fr in violation_frames + stats_frames:
             try:

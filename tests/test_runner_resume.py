@@ -46,6 +46,19 @@ def test_suite_and_resume(spark, corpus_dir, tmp_path):
     assert out.count() > 0
     assert set(out.columns) == {"part_id", "rule_id", "doc_id", "source", "n_tok", "detail"}
 
+    # verdict table + JSON metrics manifest sinks (S5/S6 analogs)
+    vt = spark.read.parquet(os.path.join(str(tmp_path / "out"), "verdicts"))
+    assert vt.count() == TEST_CFG.n_parts * 5
+    import json
+
+    with open(os.path.join(str(tmp_path / "out"), "metrics.json")) as f:
+        m = json.load(f)
+    assert m["rows_validated"] == res1.rows_validated
+    assert set(m["failed_parts"]) == ALL_FAILING
+    assert set(m["rules"]) == {
+        "schema", "column_stats", "uniqueness", "referential", "drift",
+    }
+
     # rerun: passing partitions skipped, failing replayed
     r2 = _runner(spark, corpus_dir, tmp_path)
     res2 = r2.run()
