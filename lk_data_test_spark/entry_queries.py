@@ -317,6 +317,49 @@ def orders_by_month(spark, sf_dir):
     )
 
 
+# §2.8 date — ISO range extraction with fallback (extract_begin_end,
+# make_listwork.py:833-841): range strings synthesized from event timestamps,
+# parsed back to (begin, end) date pairs; single dates fall back to begin=end
+@query(
+    "date_range_extract",
+    """
+    WITH r AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0
+                  THEN strftime(ts, '%Y-%m-%d') || ' – ' ||
+                       strftime(ts + INTERVAL 7 DAY, '%Y-%m-%d')
+                  ELSE strftime(ts, '%Y-%m-%d') END AS span
+      FROM events WHERE event_id < 500)
+    SELECT event_id, span,
+           strftime(strptime(string_split(span, ' – ')[1], '%Y-%m-%d'),
+                    '%Y-%m-%d') AS begin_d,
+           strftime(strptime(string_split(span, ' – ')[-1], '%Y-%m-%d'),
+                    '%Y-%m-%d') AS end_d
+    FROM r ORDER BY event_id
+    """,
+)
+def date_range_extract(spark, sf_dir):
+    from .functions.strings import extract_begin_end
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    span = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat_ws(
+            " – ",
+            F.date_format("ts", "yyyy-MM-dd"),
+            F.date_format(F.date_add(F.col("ts"), 7), "yyyy-MM-dd"),
+        ),
+    ).otherwise(F.date_format("ts", "yyyy-MM-dd"))
+    r = e.select("event_id", span.alias("span"))
+    begin, end = extract_begin_end(F.col("span"))
+    return r.select(
+        "event_id",
+        "span",
+        F.date_format(begin, "yyyy-MM-dd").alias("begin_d"),
+        F.date_format(end, "yyyy-MM-dd").alias("end_d"),
+    ).orderBy("event_id")
+
+
 @query(
     "props_json_buckets",
     """

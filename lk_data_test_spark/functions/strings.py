@@ -73,3 +73,15 @@ def normalize_uri(s: pd.Series) -> pd.Series:
         return x
 
     return s.map(one)
+
+
+def extract_begin_end(c: Column) -> tuple[Column, Column]:
+    """ISO date-range extraction with fallback: ``"2020-05-01 – 2020-06-01"``
+    -> (begin, end); a single date -> (d, d); unparseable -> (null, null).
+    Reference: ``extract_begin_end`` + the " – " textual range split
+    (``/root/reference/scripts/make_listwork.py:833-841``,
+    ``scripts/utils/utilities.py:61-70``). JVM-side split/to_date only."""
+    parts = F.split(c, " – ")
+    begin = F.to_date(F.trim(parts[0]))
+    end = F.coalesce(F.to_date(F.trim(F.element_at(parts, -1))), begin)
+    return begin, end
