@@ -894,7 +894,7 @@ def union_lang_subsets(spark, sf_dir):
     SELECT source, count(*) AS n_docs,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars,
            CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text
     FROM documents GROUP BY source ORDER BY source
     """,
 )

@@ -76,12 +76,19 @@ def normalize_uri(s: pd.Series) -> pd.Series:
 
 
 def extract_begin_end(c: Column) -> tuple[Column, Column]:
-    """ISO date-range extraction with fallback: ``"2020-05-01 – 2020-06-01"``
-    -> (begin, end); a single date -> (d, d); unparseable -> (null, null).
+    """ISO date-range extraction: ``"2020-05-01 – 2020-06-01"`` -> (begin,
+    end); a single date -> (d, d). Each side parses independently — an
+    unparseable side yields null for that side only ("2020-05-01 – garbage"
+    -> (d, null); "garbage – 2020-06-01" -> (null, d)), matching the SQL
+    oracle's per-side strptime semantics.
     Reference: ``extract_begin_end`` + the " – " textual range split
     (``/root/reference/scripts/make_listwork.py:833-841``,
     ``scripts/utils/utilities.py:61-70``). JVM-side split/to_date only."""
     parts = F.split(c, " – ")
-    begin = F.to_date(F.trim(parts[0]))
-    end = F.coalesce(F.to_date(F.trim(F.element_at(parts, -1))), begin)
+    # try_to_date: null (not an ANSI-mode cast error) on a malformed side.
+    # element_at(-1) == parts[0] for a single date, so (d, d) falls out with
+    # no coalesce; a coalesce here would silently collapse a malformed end
+    # back onto begin (round-1 ADVICE)
+    begin = F.try_to_date(F.trim(parts[0]))
+    end = F.try_to_date(F.trim(F.element_at(parts, -1)))
     return begin, end

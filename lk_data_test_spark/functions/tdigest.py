@@ -46,6 +46,20 @@ class TDigest:
     def _compress(self) -> None:
         """Deterministic pass: greedily fuse sorted neighbors while the fused
         centroid stays under the scale-function weight bound."""
+        if self.means.size > 1:
+            # Fuse exact point masses FIRST, regardless of size: np.interp with
+            # duplicate x-coordinates returns the upper envelope, so duplicate
+            # means biased cdf() at point masses (cdf(0.0) = 5/6 instead of the
+            # mass-below + half-mass-at value 1/2). After this step means are
+            # strictly increasing, making cdf()/quantile() interpolation exact
+            # at centroid locations.
+            same = np.diff(self.means) == 0.0
+            if same.any():
+                seg = np.concatenate([[0], np.cumsum(~same)])
+                fused_w = np.bincount(seg, weights=self.weights)
+                first = np.concatenate([[0], np.flatnonzero(~same) + 1])
+                self.means = self.means[first]
+                self.weights = fused_w
         if self.means.size <= self.max_centroids:
             return
         total = self.weights.sum()
@@ -81,9 +95,16 @@ class TDigest:
     def cdf(self, xs: np.ndarray) -> np.ndarray:
         if self.means.size == 0:
             return np.full(np.shape(xs), np.nan)
+        xs = np.asarray(xs, dtype=np.float64)
+        # means are strictly increasing after _compress, so interpolation over
+        # the half-mass midpoints yields mass_below + mass_at/2 at exact hits
         cum = np.cumsum(self.weights) - self.weights / 2.0
         cum /= self.weights.sum()
-        return np.clip(np.interp(xs, self.means, cum), 0.0, 1.0)
+        out = np.interp(xs, self.means, cum)
+        # outside the centroid span no mass exists strictly below/above
+        out = np.where(xs < self.means[0], 0.0, out)
+        out = np.where(xs > self.means[-1], 1.0, out)
+        return np.clip(out, 0.0, 1.0)
 
     # -- (de)serialization for BinaryType columns ---------------------------
     def to_bytes(self) -> bytes:
@@ -96,4 +117,5 @@ class TDigest:
         half = arr.size // 2
         d.means = arr[:half].copy()
         d.weights = arr[half:].copy()
+        d._compress()  # collapse any point-mass duplicates from older payloads
         return d

@@ -289,15 +289,21 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     component = min doc_id reachable — so "keep one per duplicate cluster"
     is a filter ``doc_id == component``.
 
-    Hash-to-min label propagation: every node starts labeled with itself;
-    each round pushes labels across edges and keeps the min per node, until a
-    fixpoint. Near-dup clusters have tiny diameters (duplicates of a common
-    ancestor), so this converges in ~O(log |largest cluster|) rounds; each
-    round is ONE shuffle keyed by node id, and ``localCheckpoint`` cuts the
-    growing lineage so round N's plan doesn't replay rounds 1..N-1. The
-    reference's analog is its running-dedup list (``/root/reference/scripts/
-    make_texts.py:373-374,512-517``) — exact-key only; this generalizes to
-    transitive near-dup identity.
+    Hash-to-min label propagation with pointer jumping: every node starts
+    labeled with itself; each round (a) pushes labels across edges keeping the
+    min per node, then (b) jumps each label to ITS label (path compression) —
+    so chains collapse in O(log diameter) rounds instead of O(diameter), the
+    large-star/small-star behavior from the connected-components-in-MapReduce
+    literature. Each round is two shuffles keyed by node id, and
+    ``localCheckpoint`` cuts the growing lineage so round N's plan doesn't
+    replay rounds 1..N-1. The reference's analog is its running-dedup list
+    (``/root/reference/scripts/make_texts.py:373-374,512-517``) — exact-key
+    only; this generalizes to transitive near-dup identity.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without a fixpoint —
+    a silent early exit would hand callers wrong component labels with no
+    signal (round-1 ADVICE). With pointer jumping, max_iter=25 covers
+    component diameters up to ~2^25.
     """
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -311,6 +317,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         prop = edges.withColumnRenamed("src", "id").join(labels, "id").select(
             F.col("dst").alias("id"), "comp"
@@ -319,6 +326,20 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: comp := label(comp). label(comp) is reachable from
+        # comp (itself reachable from id), and labels only decrease, so the
+        # min-reachable invariant is preserved while chains halve each round.
+        new = (
+            new.alias("l")
+            .join(
+                new.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("jump")
+                ).alias("m"),
+                "comp",
+                "left",
+            )
+            .select("id", F.coalesce("jump", "comp").alias("comp"))
             .localCheckpoint()
         )
         changed = (
@@ -330,6 +351,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} rounds "
+            f"({changed} labels still changing); component labels would be "
+            "incorrect — raise max_iter"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 

@@ -151,29 +151,56 @@ class ValidationRunner:
             # check_fackel_references.py:36-37,59-60)
             import json as _json
 
-            self.spark.createDataFrame(
-                [
-                    (
-                        int(v["part_id"]), str(v["rule_id"]), bool(v["passed"]),
-                        float(v["metric"] or 0.0), float(v["threshold"] or 0.0),
-                    )
-                    for v in verdict_rows
-                ],
-                "part_id int, rule_id string, passed boolean, metric double,"
-                " threshold double",
-            ).coalesce(1).sortWithinPartitions("rule_id", "part_id").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(self.output_dir, "verdicts"))
+            # partitioned by part_id with DYNAMIC overwrite (same contract as
+            # the violations sink): a resume run rewrites only the re-run
+            # partitions' verdict rows and preserves the rest — a flat
+            # overwrite here would drop previously-recorded verdicts
+            (
+                self.spark.createDataFrame(
+                    [
+                        (
+                            int(v["part_id"]), str(v["rule_id"]), bool(v["passed"]),
+                            float(v["metric"] or 0.0), float(v["threshold"] or 0.0),
+                        )
+                        for v in verdict_rows
+                    ],
+                    "part_id int, rule_id string, passed boolean, metric double,"
+                    " threshold double",
+                )
+                .coalesce(1)
+                .sortWithinPartitions("part_id", "rule_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_id")
+                .parquet(os.path.join(self.output_dir, "verdicts"))
+            )
+            # metrics.json carries both per-run fields (rows_validated,
+            # ran_parts, skipped_parts) and cumulative latest-known state
+            # (validated_parts, failed_parts) merged with the prior manifest,
+            # so a resume run doesn't erase earlier runs' outcomes
+            metrics_path = os.path.join(self.output_dir, "metrics.json")
+            prev: dict = {}
+            if os.path.exists(metrics_path):
+                try:
+                    with open(metrics_path) as f:
+                        prev = _json.load(f)
+                except (OSError, ValueError):
+                    prev = {}
+            ran_now = sorted(int(p) for p in pending)
+            failed_now = {int(v["part_id"]) for v in verdict_rows if not v["passed"]}
+            prev_failed = set(prev.get("failed_parts", []))
+            prev_validated = set(
+                prev.get("validated_parts", prev.get("ran_parts", []))
+            )
             metrics = {
                 "rows_validated": rows_validated,
-                "ran_parts": sorted(int(p) for p in pending),
+                "ran_parts": ran_now,
                 "skipped_parts": [int(p) for p in skipped],
-                "failed_parts": sorted(
-                    {int(v["part_id"]) for v in verdict_rows if not v["passed"]}
-                ),
+                "failed_parts": sorted((prev_failed - set(ran_now)) | failed_now),
+                "validated_parts": sorted(prev_validated | set(ran_now)),
                 "rules": {r.rule_id: r.version for r in self.rules},
             }
-            with open(os.path.join(self.output_dir, "metrics.json"), "w") as f:
+            with open(metrics_path, "w") as f:
                 _json.dump(metrics, f, indent=1, sort_keys=True)
         shared.unpersist()
         for fr in violation_frames + stats_frames:

@@ -60,6 +60,18 @@ def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_types_hashable(ddb, name):
+    """The driver hashes typed values; DuckDB's sum(INT) silently widens to
+    HUGEINT (int128), which hashes differently from Spark's BIGINT even when
+    every value matches (round-1 `doc_column_stats` red cell). Guard the whole
+    registry against that class of oracle-side typing drift."""
+    types = [str(t).upper() for t in ddb.sql(ORACLES[name]).types]
+    assert not any("HUGEINT" in t for t in types), (
+        f"{name}: oracle emits {types}; CAST the offending aggregate to BIGINT"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR).toPandas()
     ddf = ddb.sql(ORACLES[name]).df()

@@ -79,6 +79,35 @@ def test_string_functions(spark):
     assert r["slug"] == "a-b-c"
 
 
+def test_extract_begin_end_per_side_parsing(spark):
+    """Each side parses independently (round-1 ADVICE): a malformed end must
+    NOT collapse to begin, a malformed begin must not null the end."""
+    from lk_data_test_spark.functions.strings import extract_begin_end
+
+    df = spark.createDataFrame(
+        [
+            ("2020-05-01 – 2020-06-01",),
+            ("2020-05-01",),
+            ("2020-05-01 – garbage",),
+            ("garbage – 2020-06-01",),
+            ("garbage",),
+        ],
+        "span string",
+    )
+    b, e = extract_begin_end(F.col("span"))
+    rows = df.select(
+        F.date_format(b, "yyyy-MM-dd").alias("b"),
+        F.date_format(e, "yyyy-MM-dd").alias("e"),
+    ).collect()
+    assert [(r["b"], r["e"]) for r in rows] == [
+        ("2020-05-01", "2020-06-01"),
+        ("2020-05-01", "2020-05-01"),
+        ("2020-05-01", None),
+        (None, "2020-06-01"),
+        (None, None),
+    ]
+
+
 def test_ivf_topk_recall_and_exactness(spark):
     """IVF ANN: probed-list scores are exact (match brute force for the same
     pair) and recall@5 vs brute force is healthy at n_probe=3 of 8 lists."""
@@ -162,6 +191,24 @@ def test_dup_clusters_known_graph(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_dup_clusters_long_chain_and_nonconvergence_signal(spark):
+    """Pointer jumping collapses a 33-node chain (diameter 32) in far fewer
+    rounds than its diameter; with max_iter=1 the non-fixpoint exit must
+    raise instead of silently returning wrong labels (round-1 ADVICE)."""
+    import pytest as _pytest
+
+    from lk_data_test_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 132)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["component"] for r in dup_clusters(chain, max_iter=8).collect()}
+    assert got == {i: 100 for i in range(100, 133)}
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iter=1)
 
 
 def test_column_stats_shared_path_never_reads_tokens(spark, corpus_dir):

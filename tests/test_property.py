@@ -48,6 +48,23 @@ def test_tdigest_merge_conserves_mass_and_median_error(a, b):
     assert 0.5 - 0.26 <= cdf <= 0.5 + 0.26
 
 
+def test_tdigest_point_mass_cdf_is_half_mass():
+    """Regression (round-1 verdict): all-equal values must give cdf(x) =
+    mass_below + mass_at/2, not np.interp's upper envelope (was 5/6)."""
+    merged = TDigest.of(np.array([0.0])).merge(TDigest.of(np.array([0.0, 0.0])))
+    assert merged.weights.sum() == 3
+    assert float(merged.cdf(np.array([0.0]))[0]) == 0.5
+    assert float(merged.cdf(np.array([-1.0]))[0]) == 0.0
+    assert float(merged.cdf(np.array([1.0]))[0]) == 1.0
+    # mixed point mass: {0.0 x3, 1.0 x1} -> cdf(0)=3/2/4, cdf(1)=3.5/4
+    d = TDigest.of(np.array([0.0, 0.0, 0.0, 1.0]))
+    assert float(d.cdf(np.array([0.0]))[0]) == 0.375
+    assert float(d.cdf(np.array([1.0]))[0]) == 0.875
+    # quantile inverse stays monotone and in-range on point masses
+    qs = d.quantile(np.array([0.0, 0.5, 1.0]))
+    assert np.all(np.diff(qs) >= 0) and qs[0] >= 0.0 and qs[-1] <= 1.0
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.lists(finite, min_size=1, max_size=500))
 def test_tdigest_serialization_roundtrip(xs):

@@ -67,6 +67,21 @@ def test_suite_and_resume(spark, corpus_dir, tmp_path):
     failing2 = {v["part_id"] for v in res2.verdicts if not v["passed"]}
     assert failing2 == ALL_FAILING
 
+    # round-1 ADVICE regression: the resume run rewrites ONLY the re-run
+    # partitions' verdict rows (dynamic partition overwrite) — previously
+    # recorded verdicts for skipped partitions must survive
+    vt2 = spark.read.parquet(os.path.join(str(tmp_path / "out"), "verdicts"))
+    assert vt2.count() == TEST_CFG.n_parts * 5
+    assert {r["part_id"] for r in vt2.select("part_id").distinct().collect()} == set(
+        range(TEST_CFG.n_parts)
+    )
+    # metrics.json merges cumulative state across runs
+    with open(os.path.join(str(tmp_path / "out"), "metrics.json")) as f:
+        m2 = json.load(f)
+    assert set(m2["ran_parts"]) == ALL_FAILING                      # per-run
+    assert set(m2["validated_parts"]) == set(range(TEST_CFG.n_parts))  # cumulative
+    assert set(m2["failed_parts"]) == ALL_FAILING
+
     # manifest carries lineage + per-rule metrics
     e = r2.manifest.entries[str(sorted(ALL_FAILING)[0])]
     assert e["snapshot_id"] and e["files"]
