@@ -42,8 +42,12 @@ HEADLINE = [
     "ngram_jaccard_dups",
     "minhash_lsh_dups",
     "simhash_near_dups",
-    "embedding_topk",
+    # ANN variants ARE the 100 TB similarity path, so the bench measures them;
+    # brute-force embedding_topk stays out of the headline as the recall
+    # oracle only (round-1 verdict: don't headline an O(n^2) baseline)
+    "embedding_ann_ivf",
     "embedding_ann_lsh",
+    "inverse_property_swap",
 ]
 
 BENCH_PARTS = int(os.environ.get("BENCH_PARTS", "32"))
@@ -108,17 +112,22 @@ def main() -> int:
         print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     # core engine workload: full rule suite, fresh manifest (no skipping).
-    # 2 timed runs, min reported: this sandbox's vCPUs are host-oversubscribed
-    # and a single run can absorb an unrelated host-load spike.
+    # MEDIAN of 3 timed runs (same convention as scripts/bench_scaling.py),
+    # all raw runs reported: this sandbox's vCPUs are host-oversubscribed and
+    # a single run can absorb an unrelated host-load spike — the median
+    # neither hides that (min would) nor is hostage to it (a lone run would).
     corpus = ensure_bench_corpus(spark)
     if WARMUP:
         _, cold_sec = run_suite(spark, corpus)
         cold["validation_suite"] = cold_sec
-    res, suite_sec = run_suite(spark, corpus)
-    if WARMUP:
-        res2, sec2 = run_suite(spark, corpus)
-        if sec2 < suite_sec:
-            res, suite_sec = res2, sec2
+    suite_runs: list[float] = []
+    res = None
+    n_timed = 3 if WARMUP else 1
+    for _ in range(n_timed):
+        r, sec = run_suite(spark, corpus)
+        res = res or r
+        suite_runs.append(sec)
+    suite_sec = sorted(suite_runs)[len(suite_runs) // 2]
     timings["validation_suite"] = suite_sec
     seq_per_sec = round(res.rows_validated / suite_sec, 1)
     print(
@@ -147,8 +156,11 @@ def main() -> int:
                     "validated_sequences_per_sec": seq_per_sec,
                     "cpus": CPUS,
                     "bench_corpus": f"{BENCH_PARTS}x{BENCH_ROWS}",
-                    "methodology": "steady-state (1 warm-up run per query "
-                    "and for the suite); cold first-run times below",
+                    "methodology": "steady-state: per query 1 untimed "
+                    "warm-up then ONE timed run; suite = MEDIAN of 3 timed "
+                    "runs after 1 warm-up (all raw runs in suite_runs_sec); "
+                    "cold first-run times below",
+                    "suite_runs_sec": suite_runs,
                     "cold_first_run_sec": cold,
                 },
             }

@@ -1090,6 +1090,142 @@ def word_freq_top20(spark, sf_dir):
 
 
 # ===========================================================================
+# §2.10 SPARQL inverse-property swap analog + URL canonicalization family
+# ===========================================================================
+
+# Reference: scripts/owl_inverse_props.py:68-108 — for every property with an
+# owl:inverseOf, SELECT ?s ?o WHERE {?s <p> ?o}, emit the swapped triple under
+# the inverse predicate, append to the graph, dedup. Here: a long-format
+# (subject, predicate, object) frame; the inverse map is a tiny ontology
+# dimension -> broadcast join (never a shuffle of the triple side); swapped
+# rows union back and dropDuplicates removes re-derived triples that already
+# exist (the customer<50 segment_of rows exercise that path).
+@query(
+    "inverse_property_swap",
+    """
+    WITH triples AS (
+      SELECT 'order/' || CAST(o_orderkey AS VARCHAR) AS subject,
+             'placed_by' AS predicate,
+             'customer/' || CAST(o_custkey AS VARCHAR) AS object
+      FROM orders WHERE o_orderkey < 2000
+      UNION ALL
+      SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR), 'located_in',
+             'nation/' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT 'customer/' || CAST(c_custkey AS VARCHAR), 'in_segment',
+             'segment/' || c_mktsegment FROM customer
+      UNION ALL
+      SELECT 'segment/' || c_mktsegment, 'segment_of',
+             'customer/' || CAST(c_custkey AS VARCHAR)
+      FROM customer WHERE c_custkey < 50
+    ),
+    inv(predicate, inverse) AS (
+      VALUES ('placed_by', 'placed'), ('located_in', 'location_of'),
+             ('in_segment', 'segment_of'), ('segment_of', 'in_segment')
+    ),
+    swapped AS (
+      SELECT t.object AS subject, i.inverse AS predicate, t.subject AS object
+      FROM triples t JOIN inv i USING (predicate)
+    )
+    SELECT DISTINCT subject, predicate, object
+    FROM (SELECT * FROM triples UNION ALL SELECT * FROM swapped)
+    ORDER BY subject, predicate, object
+    """,
+)
+def inverse_property_swap(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000).select(
+        F.concat(F.lit("order/"), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.lit("placed_by").alias("predicate"),
+        F.concat(F.lit("customer/"), F.col("o_custkey").cast("string")).alias("object"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("supplier/"), F.col("s_suppkey").cast("string")).alias("subject"),
+        F.lit("located_in").alias("predicate"),
+        F.concat(F.lit("nation/"), F.col("s_nationkey").cast("string")).alias("object"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    seg = c.select(
+        F.concat(F.lit("customer/"), F.col("c_custkey").cast("string")).alias("subject"),
+        F.lit("in_segment").alias("predicate"),
+        F.concat(F.lit("segment/"), F.col("c_mktsegment")).alias("object"),
+    )
+    seg_of = c.filter(F.col("c_custkey") < 50).select(
+        F.concat(F.lit("segment/"), F.col("c_mktsegment")).alias("subject"),
+        F.lit("segment_of").alias("predicate"),
+        F.concat(F.lit("customer/"), F.col("c_custkey").cast("string")).alias("object"),
+    )
+    triples = o.unionByName(s).unionByName(seg).unionByName(seg_of)
+    inv = spark.createDataFrame(
+        [
+            ("placed_by", "placed"),
+            ("located_in", "location_of"),
+            ("in_segment", "segment_of"),
+            ("segment_of", "in_segment"),
+        ],
+        "predicate string, inverse string",
+    )
+    swapped = triples.join(F.broadcast(inv), "predicate").select(
+        F.col("object").alias("subject"),
+        F.col("inverse").alias("predicate"),
+        F.col("subject").alias("object"),
+    )
+    return (
+        triples.unionByName(swapped)
+        .dropDuplicates(["subject", "predicate", "object"])
+        .orderBy("subject", "predicate", "object")
+    )
+
+
+# slugify + normalize_uri over document-derived titles/URLs: the pandas-UDF
+# string family's driver-checked exercise (round-1 verdict gap). The SQL
+# analog reproduces the fold-lower-dash slug and the lowercase-scheme+host
+# canonicalization with portable string ops.
+@query(
+    "normalized_source_urls",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' – ' || upper(source) ||
+               ' (' || lang || ')' AS title,
+             'HTTPS://Example' || CAST(doc_id % 5 AS VARCHAR) || '.ORG/Docs/' ||
+               source || '/' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 3 = 0 THEN '/#sec-' || lang
+                    WHEN doc_id % 3 = 1 THEN '/' ELSE '' END AS url
+      FROM documents
+    ),
+    n AS (SELECT doc_id, title,
+                 rtrim(string_split(url, '#')[1], '/') AS x FROM d)
+    SELECT doc_id,
+           trim(regexp_replace(lower(title), '[^a-z0-9]+', '-', 'g'), '-') AS slug,
+           lower(regexp_extract(x, '^[^:]+://[^/]*')) ||
+             substr(x, length(regexp_extract(x, '^[^:]+://[^/]*')) + 1) AS norm_url
+    FROM n ORDER BY doc_id
+    """,
+)
+def normalized_source_urls(spark, sf_dir):
+    from .functions.strings import normalize_uri, slugify
+
+    d = _t(spark, sf_dir, "documents")
+    title = F.concat(
+        F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(" – "),
+        F.upper("source"), F.lit(" ("), F.col("lang"), F.lit(")"),
+    )
+    url = F.concat(
+        F.lit("HTTPS://Example"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".ORG/Docs/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/#sec-"), F.col("lang")))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        slugify(title).alias("slug"),
+        normalize_uri(url).alias("norm_url"),
+    ).orderBy("doc_id")
+
+
+# ===========================================================================
 # Dedup ladder (operators/dedup.py)
 # ===========================================================================
 

@@ -227,6 +227,7 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
             (F.coalesce(bad, F.lit(0)) <= F.lit(p["max_null_rate"])).alias("passed"),
             F.coalesce(bad, F.lit(0)).cast("double").alias("metric"),
             F.lit(float(p["max_null_rate"])).alias("threshold"),
+            F.lit(None).cast("string").alias("detail"),
         )
     )
 

@@ -322,20 +322,24 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         prop = edges.withColumnRenamed("src", "id").join(labels, "id").select(
             F.col("dst").alias("id"), "comp"
         )
+        # checkpoint BEFORE the self-join below: a self-join over the live
+        # union+agg plan trips Catalyst attribute dedup (NoSuchElementException
+        # on an internal attr id); the label table is tiny, so the extra eager
+        # materialization is cheap
         new = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
         )
         # pointer jumping: comp := label(comp). label(comp) is reachable from
         # comp (itself reachable from id), and labels only decrease, so the
         # min-reachable invariant is preserved while chains halve each round.
         new = (
-            new.alias("l")
-            .join(
+            new.join(
                 new.select(
                     F.col("id").alias("comp"), F.col("comp").alias("jump")
-                ).alias("m"),
+                ),
                 "comp",
                 "left",
             )

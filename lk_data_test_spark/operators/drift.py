@@ -204,6 +204,7 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
             (F.coalesce(F.col("metric"), F.lit(0.0)) <= 1.0).alias("passed"),
             F.coalesce(F.col("metric"), F.lit(0.0)).alias("metric"),
             F.lit(1.0).alias("threshold"),
+            F.lit(f"method={p['method']}").alias("detail"),
         )
     )
     return RuleResult(verdicts, violations, stats=per_group)

@@ -61,6 +61,7 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
         F.lit(n == 0.0).alias("passed"),
         F.lit(n).alias("metric"),
         F.lit(0.0).alias("threshold"),
+        F.lit(None).cast("string").alias("detail"),
     )
     if defects:
         detail = F.explode(F.array(*[F.lit(d) for d in defects])).alias("detail")

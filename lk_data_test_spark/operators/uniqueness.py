@@ -22,6 +22,9 @@ needing certainty set params ``{"uniqueness": {"always_exact": True}}`` which
 skips the screen. rsd defaults to 0.01 (HLL++ p=14; rsd<=0.005 switches Spark
 to a 10x slower sort-based aggregation path — measured), so duplicate rates
 >=3% are reliably caught; the HLL sketch is deterministic for a given dataset.
+Every verdict row records which path produced it (``detail`` =
+``path=screen`` | ``path=exact``), so a pass that rests on the screen alone is
+auditable downstream rather than indistinguishable from an exact pass.
 """
 
 from __future__ import annotations
@@ -64,8 +67,14 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
     p = {**DEFAULTS, **ctx.params.get(RULE_ID, {})}
     ids = df.select("part_id", "doc_id")
 
+    exact_parts: set[int]  # partitions whose verdict comes from the exact path
     if p["always_exact"]:
         scoped = df  # exact path over everything
+        exact_parts = set(
+            ctx.part_ids
+            if ctx.part_ids is not None
+            else [r["part_id"] for r in ids.select("part_id").distinct().collect()]
+        )
     else:
         screen = ids.groupBy("part_id").agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -80,6 +89,7 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
         scoped = df.filter(
             F.col("part_id").isin(flagged) if flagged else F.lit(False)
         )
+        exact_parts = set(flagged)
 
     # tiny (one row per duplicated key); cache so violations + verdicts don't
     # re-run the hash-group plan
@@ -99,6 +109,16 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
     dup_keys = dups.groupBy("part_id").agg(
         F.count(F.lit(1)).cast("double").alias("metric")
     )
+    # provenance: which path produced this verdict — 'path=exact' means the
+    # hash-group exact scan ran for the partition; 'path=screen' means the
+    # pass rests on the HLL screen alone (resolution ~3*rsd — auditable
+    # downstream instead of indistinguishable from an exact pass)
+    path_col = F.when(
+        F.col("part_id").isin([int(x) for x in exact_parts])
+        if exact_parts
+        else F.lit(False),
+        F.lit("path=exact"),
+    ).otherwise(F.lit("path=screen"))
     verdicts = (
         part_skeleton(df, ctx)
         .join(dup_keys, "part_id", "left")
@@ -108,6 +128,7 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
             (F.coalesce(F.col("metric"), F.lit(0.0)) == 0.0).alias("passed"),
             F.coalesce(F.col("metric"), F.lit(0.0)).alias("metric"),
             F.lit(0.0).alias("threshold"),
+            path_col.alias("detail"),
         )
     )
     return RuleResult(verdicts, violations)

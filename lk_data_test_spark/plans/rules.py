@@ -6,7 +6,11 @@ The Spark counterpart of the reference's declarative classification rules
 registry entry naming a builder function. Every rule emits two DataFrames with
 fixed schemas:
 
-verdicts:    (part_id, rule_id, passed, metric, threshold)   one row per partition
+verdicts:    (part_id, rule_id, passed, metric, threshold, detail)  one row per
+             partition; ``detail`` records evaluation provenance (e.g. which
+             path produced the verdict: ``path=screen`` vs ``path=exact`` for
+             uniqueness, ``method=hist|tdigest`` for drift) so a pass from a
+             lower-resolution screen is auditable downstream
 violations:  (part_id, rule_id, doc_id, source, n_tok, detail) zero+ rows
 
 Violation rows are canonically ordered (orderBy part_id, rule_id, doc_id,
@@ -31,6 +35,7 @@ VERDICT_SCHEMA = T.StructType(
         T.StructField("passed", T.BooleanType(), False),
         T.StructField("metric", T.DoubleType(), True),
         T.StructField("threshold", T.DoubleType(), True),
+        T.StructField("detail", T.StringType(), True),
     ]
 )
 
@@ -108,6 +113,7 @@ def verdict_from_violations(
             ),
             F.coalesce(F.col("metric"), F.lit(0.0)).alias("metric"),
             F.lit(float(threshold)).alias("threshold"),
+            F.lit(None).cast("string").alias("detail"),
         )
     )
 

@@ -161,11 +161,12 @@ class ValidationRunner:
                         (
                             int(v["part_id"]), str(v["rule_id"]), bool(v["passed"]),
                             float(v["metric"] or 0.0), float(v["threshold"] or 0.0),
+                            v.get("detail"),
                         )
                         for v in verdict_rows
                     ],
                     "part_id int, rule_id string, passed boolean, metric double,"
-                    " threshold double",
+                    " threshold double, detail string",
                 )
                 .coalesce(1)
                 .sortWithinPartitions("part_id", "rule_id")

@@ -68,6 +68,11 @@ def test_uniqueness_screen_and_exact(ctx_df):
     dup_per_part = max(1, int(TEST_CFG.dup_frac * TEST_CFG.rows_per_part))
     assert len(v) == dup_per_part * len(EXPECTED["uniqueness"])
     assert all("duplicate doc_id count=2" == r["detail"] for r in v)
+    # provenance: flagged partitions carry path=exact, clean ones path=screen
+    prov = {r["part_id"]: r["detail"] for r in res.verdicts.collect()}
+    assert {p for p, d in prov.items() if d == "path=exact"} == EXPECTED["uniqueness"]
+    assert all(d == "path=screen" for p, d in prov.items()
+               if p not in EXPECTED["uniqueness"])
 
 
 def test_uniqueness_always_exact_matches_screen(ctx_df):
@@ -81,6 +86,7 @@ def test_uniqueness_always_exact_matches_screen(ctx_df):
     )
     res = uniqueness.evaluate(df, exact_ctx)
     assert _failing(res.verdicts) == EXPECTED["uniqueness"]
+    assert all(r["detail"] == "path=exact" for r in res.verdicts.collect())
 
 
 def test_drift(ctx_df):
