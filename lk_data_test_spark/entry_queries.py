@@ -1226,6 +1226,197 @@ def normalized_source_urls(spark, sf_dir):
 
 
 # ===========================================================================
+# Temporal / sampling / range-join pipeline extensions
+# ===========================================================================
+
+# Gap sessionization (operators/temporal.py): activity segmentation over the
+# event stream — one shuffle by user, two window expressions over one sort.
+@query(
+    "event_sessions",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS flag
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, value,
+             CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM x
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+    """,
+)
+def event_sessions(spark, sf_dir):
+    from .operators.temporal import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        sessionize(e, gap_sec=1800)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+# As-of join (operators/temporal.py): attach each user's most recent error
+# event at-or-before every event. The oracle is DuckDB's NATIVE ASOF JOIN —
+# an independent implementation of the same semantics, so agreement is a
+# strong check of the union-window rewrite's tie and null behavior.
+@query(
+    "last_error_asof",
+    """
+    WITH err AS (
+      SELECT user_id, ts, max(event_id) AS last_error_id,
+             arg_max(value, event_id) AS last_error_value
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           err.last_error_id, err.last_error_value
+    FROM events e ASOF LEFT JOIN err
+      ON e.user_id = err.user_id AND e.ts >= err.ts
+    ORDER BY e.event_id
+    """,
+)
+def last_error_asof(spark, sf_dir):
+    from .operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("last_error_id"),
+            F.max_by("value", "event_id").alias("last_error_value"),
+        )
+    )
+    joined = asof_join(
+        e, err, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["last_error_id", "last_error_value"],
+    )
+    return joined.select(
+        "event_id", "user_id", "event_type", "last_error_id", "last_error_value"
+    ).orderBy("event_id")
+
+
+# Numeric range join via the bucketed equi-join rewrite: each band explodes
+# to the fixed-width buckets it covers, facts compute their bucket, the join
+# is a plain equi-join + residual BETWEEN filter. With a tiny band dim a
+# broadcast would do; the rewrite is the BOTH-SIDES-LARGE pattern (interval
+# dims at 100 TB: time buckets, size classes) — no range join, no cartesian.
+# The oracle is the semantic BETWEEN join.
+@query(
+    "chars_band_join",
+    """
+    SELECT b.label, count(*) AS n_docs,
+           min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars
+    FROM documents d
+    JOIN (VALUES ('short', 0, 149), ('medium', 150, 299),
+                 ('long', 300, 449), ('xl', 450, 1999)) b(label, lo, hi)
+      ON d.n_chars BETWEEN b.lo AND b.hi
+    GROUP BY b.label ORDER BY b.label
+    """,
+)
+def chars_band_join(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bands = spark.createDataFrame(
+        [("short", 0, 149), ("medium", 150, 299), ("long", 300, 449),
+         ("xl", 450, 1999)],
+        "label string, lo int, hi int",
+    )
+    b = bands.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / 100).cast("int"),
+                F.floor(F.col("hi") / 100).cast("int"),
+            )
+        ),
+    )
+    facts = d.withColumn("bucket", F.floor(F.col("n_chars") / 100).cast("int"))
+    return (
+        facts.join(b, "bucket")
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("label")
+    )
+
+
+# Deterministic stratified sampling: k docs per source ordered by a salt-free
+# content hash — reproducible across engines and runs (a seeded RAND is not),
+# one shuffle by source, no global sort.
+@query(
+    "stratified_doc_sample",
+    """
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+      FROM documents)
+    WHERE rk <= 5 ORDER BY source, rk
+    """,
+)
+def stratified_doc_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+    )
+
+
+# Exact per-group quantiles, engine-portable: quantize to integer cents first
+# so the linear interpolation (quarter fractions over small ints) is exact in
+# double arithmetic in BOTH engines — bit-identical without rounding tricks.
+@query(
+    "event_value_quantiles",
+    """
+    WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_type,
+           quantile_cont(cents, 0.25) AS q25_cents,
+           quantile_cont(cents, 0.50) AS q50_cents,
+           quantile_cont(cents, 0.75) AS q75_cents
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_value_quantiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("percentile(cents, 0.25D)").alias("q25_cents"),
+            F.expr("percentile(cents, 0.50D)").alias("q50_cents"),
+            F.expr("percentile(cents, 0.75D)").alias("q75_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
 # Dedup ladder (operators/dedup.py)
 # ===========================================================================
 

@@ -211,6 +211,61 @@ def test_dup_clusters_long_chain_and_nonconvergence_signal(spark):
         dup_clusters(chain, max_iter=1)
 
 
+def test_asof_join_semantics_and_plan(spark):
+    """At-or-before matching incl. the equal-timestamp tie (right row wins at
+    its own timestamp), null when nothing precedes, and the union-window
+    rewrite stays ONE hash-partitioning shuffle (no range-join blowup)."""
+    from lk_data_test_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 3, "c"), (2, 7, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 4, 100), (1, 10, 200), (3, 1, 300)], "k long, t long, val long"
+    )
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                    right_cols=["val"])
+    got = {r["tag"]: r["val"] for r in out.collect()}
+    assert got == {
+        "a": 100,   # t=5 -> last right at 4
+        "b": 200,   # t=10 -> right at 10 matches (at-or-before includes equal)
+        "c": None,  # t=3 -> nothing at or before
+        "d": None,  # key 2 has no right rows
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the initial plan
+    assert final.count("hashpartitioning") == 1
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoop" not in final
+
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                  right_cols=["tag"])
+
+
+def test_sessionize_gap_boundary(spark):
+    """A gap of exactly gap_sec stays in-session (strict >); one micro more
+    starts a new one; sessions are per-user."""
+    import datetime as dt
+
+    from lk_data_test_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1),
+        (1, t0 + dt.timedelta(seconds=1800), 2),                    # exact gap
+        (1, t0 + dt.timedelta(seconds=3600, microseconds=1), 3),    # gap + 1us
+        (2, t0, 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, gap_sec=1800).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
 def test_column_stats_shared_path_never_reads_tokens(spark, corpus_dir):
     """With the suite's shared token scan, the column_stats aggregation plan
     must scan only the narrow columns (tokens pruned out of ReadSchema)."""
