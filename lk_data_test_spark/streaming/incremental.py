@@ -182,6 +182,72 @@ def running_source_stats(
     )
 
 
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def session_activity(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 4,
+):
+    """Event-time sessionization over a continuous event stream via the
+    built-in ``session_window``: per (user, session) activity rollups where a
+    session extends ``gap`` past each event and closes once the watermark
+    passes — bounded state, each session emitted exactly once when final
+    (append mode). The streaming counterpart of the batch
+    ``operators/temporal.sessionize`` (lag-gap + running sum), with one
+    boundary difference inherent to the built-in: ``session_window`` splits at
+    gaps >= gap (half-open windows) while the batch operator splits at
+    gaps > gap.
+
+    Returns the StreamingQuery; results land in ``output_dir`` as parquet
+    ``(user_id, session_start, session_end, n_events, total_value)``.
+    """
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_violation_counts(
     spark: SparkSession,
     input_dir: str,

@@ -163,3 +163,86 @@ def test_running_source_stats_state(spark, tmp_path):
     # state carried across >=2 micro-batches for both sources
     assert final["fackel"]["n_batches"] >= 2
     assert final["nope"]["n_batches"] >= 2
+
+
+def test_session_activity_stream(spark, tmp_path):
+    """Event-time sessionization (built-in session_window): sessions close
+    exactly once when the watermark passes session_end; open sessions are
+    never emitted in append mode."""
+    from lk_data_test_spark.streaming.incremental import session_activity
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    b1 = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 1, "click", 2.5, "{}"),   # merges
+        (3, t0 + dt.timedelta(minutes=90), 1, "view", 4.0, "{}"),    # new sess
+        (4, t0 + dt.timedelta(minutes=5), 2, "view", 1.25, "{}"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        os.path.join(input_dir, "b1")
+    )
+    time.sleep(1.1)  # distinct mtimes -> deterministic micro-batch order
+    # sentinel far in the future pushes the watermark past every real
+    # session's end; its own session stays open and must NOT be emitted
+    b2 = [(99, t0 + dt.timedelta(days=2), 99, "view", 0.5, "{}")]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        os.path.join(input_dir, "b2")
+    )
+
+    q = session_activity(
+        spark,
+        input_dir + "/*",
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        gap="30 minutes",
+        watermark="1 minute",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {
+        (r["user_id"], r["session_start"].isoformat()): (
+            r["n_events"], r["total_value"], r["session_end"].isoformat()
+        )
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "2026-01-01T12:00:00"): (2, 3.5, "2026-01-01T12:40:00"),
+        (1, "2026-01-01T13:30:00"): (1, 4.0, "2026-01-01T14:00:00"),
+        (2, "2026-01-01T12:05:00"): (1, 1.25, "2026-01-01T12:35:00"),
+    }
+
+
+def test_sessionize_agrees_with_builtin_session_window(spark):
+    """Two independent sessionization implementations agree on real data:
+    the batch lag-gap operator and Spark's built-in session_window produce
+    the same per-user session counts (boundary semantics differ only at
+    gaps EXACTLY equal to the gap — measure-zero on microsecond data)."""
+    from pyspark.sql import functions as F
+
+    from lk_data_test_spark.operators.temporal import sessionize
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    mine = {
+        r["user_id"]: r["n_sessions"]
+        for r in sessionize(e, gap_sec=1800)
+        .groupBy("user_id")
+        .agg(F.max("session_idx").alias("n_sessions"))
+        .collect()
+    }
+    builtin = {
+        r["user_id"]: r["n_sessions"]
+        for r in e.groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .collect()
+    }
+    assert mine == builtin
