@@ -1519,15 +1519,25 @@ def minhash_signatures_k8(spark, sf_dir):
         FROM sig)),
     lsh_cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
              FROM banded a JOIN banded b
-               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-    SELECT c.doc_a, c.doc_b, j.jaccard
-    FROM lsh_cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-    WHERE j.jaccard >= 0.5 ORDER BY c.doc_a, c.doc_b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    pair_shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM lsh_cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b,
+           p.shared / (sa.n_sh + sb.n_sh - p.shared) AS jaccard
+    FROM pair_shared p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.shared / (sa.n_sh + sb.n_sh - p.shared) >= 0.5
+    ORDER BY p.doc_a, p.doc_b
     """,
 )
 def minhash_lsh_dups(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k=16, bands=4, n=3, threshold=0.5, max_df=20
+        _t(spark, sf_dir, "documents"), k=16, bands=4, n=3, threshold=0.5
     ).orderBy("doc_a", "doc_b")
 
 

@@ -159,15 +159,20 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int = 20,
 ) -> DataFrame:
-    """LSH candidate pairs: band the k-wide signature into `bands` buckets,
-    join docs that collide in any band, then verify with exact Jaccard.
+    """LSH near-dup pairs: band the k-wide signature into `bands` buckets,
+    join docs that collide in any band, then verify ONLY those candidates
+    with pair-scoped exact Jaccard.
 
     shingle->minhash->band->bucket-join: only bucket collisions are ever
     paired, so the join is equi (no cross join), and the band key is a short
-    string — this is the 100 TB-safe path; ngram_jaccard_pairs is the
-    exact-verification subroutine on the (tiny) candidate set.
+    string. Verification touches nothing but the candidate docs: their
+    shingle sets are pruned out with a broadcast semi-join (candidate ids are
+    tiny by construction — LSH collisions), collected per doc, and
+    intersected per pair — the full corpus never re-enters after candidate
+    generation. (Round-1 composition re-ran the whole rare-shingle pair
+    generator as the verifier, which both cost a second corpus-wide pass and
+    silently dropped true pairs that share only high-frequency shingles.)
     """
     r = k // bands
     sig = minhash_signatures(docs, k, n)
@@ -191,9 +196,29 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, n, threshold, max_df)
-    return cand.join(verified, ["doc_a", "doc_b"], "inner").select(
-        "doc_a", "doc_b", "jaccard"
+    sh = shingles(docs, n)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("ss"))
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    shared = F.size(F.array_intersect("ss_a", "ss_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            shared / (F.size("ss_a") + F.size("ss_b") - shared),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
