@@ -1541,6 +1541,91 @@ def minhash_lsh_dups(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+# Benchmark decontamination: per-doc 3-gram overlap against a benchmark set
+# (here: doc_id < 10 stands in for an eval set). The benchmark's shingle set
+# is tiny by definition -> broadcast semi-ish inner join; the corpus side
+# streams through without a self-join. At 100 TB this is THE contamination
+# check shape: benchmark shingles broadcast once, one pass over the corpus.
+@query(
+    "benchmark_contamination",
+    f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+    hits AS (SELECT sh.doc_id, count(*) AS n_hits
+             FROM sh JOIN bench USING (s)
+             WHERE sh.doc_id >= 10 GROUP BY sh.doc_id)
+    SELECT h.doc_id, h.n_hits, sizes.n_sh,
+           h.n_hits / sizes.n_sh AS contamination
+    FROM hits h JOIN sizes ON h.doc_id = sizes.doc_id
+    WHERE h.n_hits / sizes.n_sh >= 0.2
+    ORDER BY h.doc_id
+    """,
+)
+def benchmark_contamination(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.shingles(d, 3)
+    bench = (
+        sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .withColumn("contamination", F.col("n_hits") / F.col("n_sh"))
+        .filter(F.col("contamination") >= 0.2)
+        .select("doc_id", "n_hits", "n_sh", "contamination")
+        .orderBy("doc_id")
+    )
+
+
+# TF-IDF-style salient terms: rank each doc's words by (tf / df) — the
+# log-free formulation keeps the score a single IEEE double division, which
+# is bit-identical across engines (ln() is libm-dependent and is not).
+# Two hash aggregations + one window; word df is NOT broadcast (unbounded
+# vocabulary) — the join is a plain equi-join on word.
+@query(
+    "tfidf_top_terms",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+               FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             tf.tf / df.df AS score
+      FROM tf JOIN df USING (word))
+    SELECT doc_id, word, tf, df, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, word) AS INT) AS rk
+      FROM scored)
+    WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"),
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "word").withColumn(
+        "score", F.col("tf") / F.col("df")
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", "df", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
 # SimHash: bit-level ops — Spark-only (rows-only correctness check)
 @query("simhash_near_dups", None)
 def simhash_near_dups(spark, sf_dir):
