@@ -1765,6 +1765,191 @@ def embedding_digest_invariant(spark, sf_dir):
 
 
 # ===========================================================================
+# OLAP surface widening: rollup, pivot, rolling windows, overlap matrix
+# ===========================================================================
+
+# ROLLUP with grouping_id: subtotal rows per nation, per (nation, year), and
+# a grand total — one pass, Spark expands grouping sets inside the aggregate
+# (no union of re-scans). gid bit order (first listed col = MSB) matches
+# DuckDB's GROUPING().
+@query(
+    "revenue_rollup",
+    """
+    WITH j AS (
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey)
+    SELECT n_name, o_year,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders,
+           CAST(grouping(n_name, o_year) AS INT) AS gid
+    FROM j GROUP BY ROLLUP (n_name, o_year)
+    ORDER BY gid, n_name, o_year
+    """,
+)
+def revenue_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_totalprice",
+        )
+    )
+    return (
+        j.rollup("n_name", "o_year")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .orderBy("gid", "n_name", "o_year")
+    )
+
+
+# Pivot (long -> wide): month x event_type counts. Spark's pivot with an
+# EXPLICIT value list compiles to one aggregate with conditional counters —
+# same plan as the oracle's FILTER clauses — and skips the extra
+# distinct-values scan an implicit pivot would add.
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@query(
+    "event_type_pivot",
+    """
+    SELECT strftime(ts, '%Y-%m') AS month,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def event_type_pivot(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    return (
+        e.groupBy("month")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("month")
+    )
+
+
+# Rolling window aggregate (ROWS frame): trailing-4-event spend per user.
+# One shuffle on user_id; the frame is evaluated in a single sorted pass per
+# partition. Cents keep the sum integer-exact across engines.
+@query(
+    "user_rolling_value",
+    """
+    WITH c AS (SELECT event_id, user_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id, user_id, cents,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS roll4_cents,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             AS INT) AS roll4_n
+    FROM c ORDER BY event_id
+    """,
+)
+def user_rolling_value(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.sum("cents").over(w).alias("roll4_cents"),
+        F.count(F.lit(1)).over(w).cast("int").alias("roll4_n"),
+    ).orderBy("event_id")
+
+
+# Cross-source overlap matrix (contamination shape): how many distinct words
+# each source pair shares. Self-equi-join on word after a per-source distinct
+# — the vocabulary is sublinear in corpus size, so the join input is bounded;
+# hot words (stopwords) are exactly the AQE skew-split case.
+@query(
+    "source_vocab_overlap",
+    """
+    WITH wv AS (SELECT DISTINCT source,
+                       unnest(string_split(trim(text), ' ')) AS word
+                FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_words
+    FROM wv a JOIN wv b ON a.word = b.word AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def source_vocab_overlap(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    wv = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+    ).distinct()
+    a, b = wv.alias("a"), wv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_words"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ===========================================================================
+# Iterative training: distributed spherical k-means (operators/similarity.py)
+# — rows-only (driver-coordinated iteration is not one SQL statement; pytest
+# asserts monotone objective + determinism instead)
+# ===========================================================================
+
+@query("embedding_kmeans_clusters", None)
+def embedding_kmeans_clusters(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cents, _hist = similarity.kmeans_fit(e, n_clusters=8, n_iter=3)
+    return (
+        similarity.kmeans_assign(e, cents)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("cluster")
+    )
+
+
+@query("embedding_ann_ivf_trained", None)
+def embedding_ann_ivf_trained(spark, sf_dir):
+    """IVF probe over a kmeans-trained coarse quantizer (vs the random one
+    in ``embedding_ann_ivf``) — same probe/score plan, better list balance."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents, _hist = similarity.kmeans_fit(e, n_clusters=8, n_iter=3)
+    return similarity.ivf_topk(
+        e, k=5, n_queries=10, n_probe=2, cents=cents
+    ).orderBy("query_id", "rank")
+
+
+# ===========================================================================
 # Core engine rules over a generated sequences corpus — rows-only (the SQL
 # oracle can't express HLL screens / KS statistics; pytest covers these
 # against analytic golden verdicts instead)

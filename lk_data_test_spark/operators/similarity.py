@@ -68,6 +68,118 @@ def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 11) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def _unit_vectors(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, u: array<double>) with u = embedding / ||embedding|| — all
+    JVM-side (transform + aggregate fold, no UDF)."""
+    from ..functions.arrays import norm
+
+    v = embeddings.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    return v.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / norm(F.col("v"))).alias("u"),
+    )
+
+
+def _lit_dot(col, vec: np.ndarray):
+    """Dot of an array<double> column with a driver-side literal vector —
+    a whole-stage-codegen'd fold, the same pattern as the IVF/LSH planes."""
+    return F.aggregate(
+        F.zip_with(
+            col,
+            F.array(*[F.lit(float(x)) for x in vec]),
+            lambda e, p: e * p,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_expr(cents: np.ndarray):
+    """(best_score, best_cluster) struct: argmax over literal centroids via
+    lexicographic array_max of (score, -idx) structs (ties -> lowest idx)."""
+    structs = F.array(
+        *[
+            F.struct(
+                _lit_dot(F.col("u"), cents[c]).alias("s"),
+                F.lit(-c).alias("negc"),
+            )
+            for c in range(len(cents))
+        ]
+    )
+    best = F.array_max(structs)
+    return best.getField("s").alias("score"), (-best.getField("negc")).alias(
+        "cluster"
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 4,
+    dim: int = 64,
+    seed: int = 11,
+) -> tuple[np.ndarray, list[float]]:
+    """Distributed spherical k-means (Lloyd's) — the trainer for the IVF
+    coarse quantizer (``ivf_centroids`` is the untrained drop-in).
+
+    Iterative-algorithm shape (like ``dedup.dup_clusters``): the driver
+    coordinates rounds, but per round the data motion is ONE scan of the
+    unit-normalized vectors + ONE partial-aggregated shuffle of at most
+    ``n_clusters`` rows of (dim sums, count, score sum) per task — the
+    collect is k x dim doubles (tiny, independent of corpus size), never
+    vectors. Assignment is JVM-side argmax over literal centroid arrays
+    (no UDF, no broadcast join), so at 100 TB each round is a map-only
+    pass + a k-row reduce.
+
+    Spherical Lloyd's on unit vectors with normalized-mean updates is
+    monotone in the objective sum(max_c cos(x, c)) — asserted by pytest.
+
+    Returns (unit-norm centroids [n_clusters x dim], per-round objective).
+    """
+    cents = ivf_centroids(dim, n_clusters, seed)
+    unit = _unit_vectors(embeddings).cache()
+    history: list[float] = []
+    try:
+        for _ in range(n_iter):
+            score, cluster = _assign_expr(cents)
+            assigned = unit.select("u", score, cluster)
+            sums = [
+                F.sum(F.element_at(F.col("u"), i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ]
+            rows = (
+                assigned.groupBy("cluster")
+                .agg(
+                    *sums,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("score").alias("obj"),
+                )
+                .collect()
+            )
+            history.append(float(sum(r["obj"] for r in rows)))
+            new_cents = cents.copy()  # empty clusters keep their centroid
+            for r in rows:
+                m = np.array([r[f"s{i}"] for i in range(dim)])
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    new_cents[r["cluster"]] = m / nrm
+            cents = new_cents
+    finally:
+        unit.unpersist()
+    return cents, history
+
+
+def kmeans_assign(
+    embeddings: DataFrame, cents: np.ndarray
+) -> DataFrame:
+    """(vec_id, cluster, score=cos(x, centroid)) for trained centroids."""
+    score, cluster = _assign_expr(cents)
+    return _unit_vectors(embeddings).select("vec_id", cluster, score)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -76,6 +188,7 @@ def ivf_topk(
     n_probe: int = 2,
     dim: int = 64,
     seed: int = 11,
+    cents: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest coarse
     centroid (the inverted list), probe the ``n_probe`` best lists per query,
@@ -87,8 +200,14 @@ def ivf_topk(
     At scale the inverted lists are an equi-join key, so the probe is a
     shuffle of (query x n_probe) rows against list-partitioned data; skewed
     lists (hot centroids) split under AQE. Recall tunes with n_probe.
+
+    ``cents`` takes a trained quantizer (``kmeans_fit``) in place of the
+    default random one; the probe/score plan is identical either way.
     """
-    cents = ivf_centroids(dim, n_centroids, seed)
+    if cents is None:
+        cents = ivf_centroids(dim, n_centroids, seed)
+    else:
+        n_centroids = len(cents)
 
     def cent_scores() -> list:
         return [

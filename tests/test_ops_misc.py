@@ -137,6 +137,41 @@ def test_ivf_topk_recall_and_exactness(spark):
     assert recall >= 0.5, f"recall@5 = {recall:.2f}"
 
 
+def test_kmeans_monotone_deterministic_and_balances_ivf(spark):
+    """Spherical Lloyd's: the objective sum(max_c cos(x, c)) is monotone
+    non-decreasing per round, refitting is bit-deterministic (seeded init +
+    exact per-cluster sums), assignments cover every vector, and the trained
+    quantizer never balances the inverted lists worse than the random one."""
+    import numpy as np
+
+    from lk_data_test_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, hist = similarity.kmeans_fit(emb, n_clusters=8, n_iter=3)
+    assert len(hist) == 3
+    for prev, cur in zip(hist, hist[1:]):
+        assert cur >= prev - 1e-9, f"objective regressed: {hist}"
+
+    cents2, hist2 = similarity.kmeans_fit(emb, n_clusters=8, n_iter=3)
+    assert hist == hist2
+    assert np.array_equal(cents, cents2)
+
+    assign = similarity.kmeans_assign(emb, cents)
+    counts = {r["cluster"]: r["n_vecs"] for r in
+              assign.groupBy("cluster").agg(
+                  F.count(F.lit(1)).alias("n_vecs")).collect()}
+    assert sum(counts.values()) == emb.count()
+
+    rand = similarity.ivf_centroids(64, 8, 11)
+    rand_counts = [
+        r["n"]
+        for r in similarity.kmeans_assign(emb, rand)
+        .groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    # trained lists are no more skewed than random ones (max list size)
+    assert max(counts.values()) <= max(rand_counts)
+
+
 def test_plan_shapes(spark, corpus_dir):
     """The physical plans the engine depends on at 100 TB: partition-pruned
     scans and broadcast (never shuffled-fact) dimension joins."""
