@@ -211,6 +211,36 @@ def test_uniqueness_exact_pass_is_partition_pruned(spark, corpus_dir):
     assert scans and all("part_id" in ln for ln in scans)
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-bucketed tables join with ZERO Exchange (the write paid the
+    shuffle once); the identical join over the raw parquet re-shuffles both
+    sides every run — the contrast the bucketing layout exists to remove."""
+    from lk_data_test_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    a = spark.range(0, 1000).selectExpr("id", "id * 2 AS x")
+    b = spark.range(0, 1000).selectExpr("id", "id * 3 AS y")
+    write_bucketed(a, "bj_a", "id", 4, path=str(tmp_path / "bj_a"))
+    write_bucketed(b, "bj_b", "id", 4, path=str(tmp_path / "bj_b"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "bj_a", "bj_b", "id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+
+        raw = spark.read.parquet(str(tmp_path / "bj_a")).join(
+            spark.read.parquet(str(tmp_path / "bj_b")), "id"
+        )
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")
+
+
 def test_dup_clusters_known_graph(spark):
     """Connected components on a known graph: two chains and a singleton-free
     pair; labels converge to the min doc_id per component."""
