@@ -1920,6 +1920,43 @@ def source_vocab_overlap(spark, sf_dir):
     )
 
 
+# Planned-skew join (operators/skew.py): the word-frequency dimension keeps
+# only HOT words (df >= 50 — the top word hits 80%+ of docs), so the plain
+# equi-join would pile most of the corpus onto a handful of reducer keys.
+# salted_join fans each hot word over 8 deterministic salts; the oracle is
+# the semantically identical unsalted join.
+@query(
+    "salted_hot_word_join",
+    """
+    WITH dw AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+                FROM documents),
+    hot AS (SELECT word, count(DISTINCT doc_id) AS df
+            FROM dw GROUP BY word HAVING count(DISTINCT doc_id) >= 50)
+    SELECT dw.word, count(*) AS n_hits, CAST(max(hot.df) AS BIGINT) AS df
+    FROM dw JOIN hot ON dw.word = hot.word
+    GROUP BY dw.word ORDER BY dw.word
+    """,
+)
+def salted_hot_word_join(spark, sf_dir):
+    from .operators.skew import salted_join
+
+    d = _t(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+    )
+    hot = (
+        dw.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 50)
+    )
+    j = salted_join(dw, hot, "word", salt_from=["doc_id"], n_salts=8)
+    return (
+        j.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.max("df").alias("df"))
+        .orderBy("word")
+    )
+
+
 # ===========================================================================
 # Iterative training: distributed spherical k-means (operators/similarity.py)
 # — rows-only (driver-coordinated iteration is not one SQL statement; pytest

@@ -223,7 +223,10 @@ def ivf_topk(
             for c in range(n_centroids)
         ]
 
-    # (score, idx) structs: lexicographic max = argmax, sort desc = top lists
+    # (score, idx) structs: lexicographic max = argmax, sort desc = top lists.
+    # list_id, quantized vector, and norm all come out of ONE projection over
+    # the scan — a vec_id self-join to attach them would shuffle the whole
+    # vector table twice for no reason (measured 2-6x slower at sf0.1).
     score_structs = F.array(
         *[
             F.struct(s.alias("s"), F.lit(i).alias("c"))
@@ -231,24 +234,32 @@ def ivf_topk(
         ]
     )
     nearest = F.array_max(score_structs).getField("c")
-    q = _quantized_with_norm(embeddings)
-    assigned = embeddings.select("vec_id", nearest.alias("list_id")).join(q, "vec_id")
-
-    probes = embeddings.filter(F.col("vec_id") < n_queries).select(
+    assigned = embeddings.select(
         "vec_id",
-        F.explode(
-            F.transform(
-                F.slice(F.reverse(F.array_sort(score_structs)), 1, n_probe),
-                lambda st: st.getField("c"),
-            )
-        ).alias("list_id"),
+        nearest.alias("list_id"),
+        quantized(F.col("embedding")).alias("q"),
+    ).withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
+
+    probes = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            "vec_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(score_structs)), 1, n_probe),
+                    lambda st: st.getField("c"),
+                )
+            ).alias("list_id"),
+            quantized(F.col("embedding")).alias("q"),
+        )
+        .withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
     )
     score = (
         int_dot(F.col("a.q"), F.col("b.q")).cast("double")
         / (F.col("a.nrm") * F.col("b.nrm"))
     )
     scored = (
-        F.broadcast(probes.join(q, "vec_id")).alias("a")
+        F.broadcast(probes).alias("a")
         .join(assigned.alias("b"), "list_id")
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
@@ -298,11 +309,14 @@ def ann_lsh_topk(
     sig = F.concat_ws(
         "", *[F.when(c >= 0, F.lit("1")).otherwise(F.lit("0")) for c in plane_cols]
     )
-    q = _quantized_with_norm(embeddings)
-    bucketed = (
-        embeddings.select("vec_id", sig.alias("bucket"))
-        .join(q, "vec_id")
-    )
+    # bucket, quantized vector, and norm in ONE projection over the scan (a
+    # vec_id self-join here shuffled the vector table twice; measured 6x
+    # slower at sf0.1)
+    bucketed = embeddings.select(
+        "vec_id",
+        sig.alias("bucket"),
+        quantized(F.col("embedding")).alias("q"),
+    ).withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
     queries = bucketed.filter(F.col("vec_id") < n_queries)
     score = (
         int_dot(F.col("a.q"), F.col("b.q")).cast("double")

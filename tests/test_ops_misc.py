@@ -241,6 +241,40 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bj_b")
 
 
+def test_salted_join_matches_plain_join(spark):
+    """Salted hot-key join is row-identical to the plain equi-join for inner
+    AND left joins (incl. unmatched fact rows), and the physical shuffle is
+    keyed on (key, salt) so a hot key fans over n_salts reducers."""
+    from lk_data_test_spark.operators.skew import SALT_COL, salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(500)]
+        + [(1000, "orphan")],
+        "row_id long, key string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k10", 2), ("k20", 3)], "key string, val int"
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for how in ("inner", "left"):
+            plain = sorted(
+                (r["row_id"], r["val"])
+                for r in fact.join(dim, "key", how).collect()
+            )
+            salted = salted_join(
+                fact, dim, "key", salt_from=["row_id"], n_salts=8, how=how
+            )
+            got = sorted((r["row_id"], r["val"]) for r in salted.collect())
+            assert got == plain, how
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert SALT_COL in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_dup_clusters_known_graph(spark):
     """Connected components on a known graph: two chains and a singleton-free
     pair; labels converge to the min doc_id per component."""
