@@ -1958,6 +1958,148 @@ def salted_hot_word_join(spark, sf_dir):
 
 
 # ===========================================================================
+# Training-corpus preparation: split / shard / vocab / packing
+# ===========================================================================
+
+# Deterministic train/val/test split + shard assignment from a content-stable
+# hash (md5 of doc_id): reproducible across engines, runs, and cluster sizes
+# — a seeded rand() is none of those. Split boundaries 80/10/10 on the
+# hash's first 15 hex digits mod 100; shard = mod n_shards of the SAME hash
+# family (offset digits so split and shard are independent).
+@query(
+    "doc_split_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 AS INT) AS bucket,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 15))::BIGINT
+                  % 8 AS INT) AS shard
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           shard
+    FROM h ORDER BY doc_id
+    """,
+)
+def doc_split_shards(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint") % 100).cast(
+        "int"
+    )
+    shard = (F.conv(F.substring(hx, 17, 15), 16, 10).cast("bigint") % 8).cast(
+        "int"
+    )
+    return d.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        shard.alias("shard"),
+    ).orderBy("doc_id")
+
+
+# Vocabulary build: words above a min document frequency get dense ids by
+# (df desc, word) rank — the id table a tokenizer trainer emits. Two hash
+# aggs + one window over the (bounded) vocabulary, never over occurrences.
+@query(
+    "vocab_ids",
+    """
+    WITH df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        FROM documents)
+      GROUP BY word HAVING count(DISTINCT doc_id) >= 5)
+    SELECT word, CAST(df AS BIGINT) AS df,
+           CAST(row_number() OVER (ORDER BY df DESC, word) AS INT) AS token_id
+    FROM df ORDER BY token_id
+    """,
+)
+def vocab_ids(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+    )
+    df = (
+        w.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+    )
+    win = Window.orderBy(F.col("df").desc(), "word")
+    return df.select(
+        "word", "df", F.row_number().over(win).cast("int").alias("token_id")
+    ).orderBy("token_id")
+
+
+# Sequence packing: greedy fill of fixed token-budget training bins per
+# (shard-able) source — bin = floor((running n_chars before me) / budget),
+# one window pass, no driver loop. The contract a packer needs: bins are
+# dense per source, deterministic order (n_chars DESC, doc_id ties).
+@query(
+    "packed_char_bins",
+    """
+    SELECT doc_id, source, n_chars,
+           CAST(floor((sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_chars) / 2000.0) AS INT) AS bin
+    FROM documents ORDER BY source, bin, doc_id
+    """,
+)
+def packed_char_bins(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running_before = F.sum("n_chars").over(w) - F.col("n_chars")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.floor(running_before / 2000.0).cast("int").alias("bin"),
+    ).orderBy("source", "bin", "doc_id")
+
+
+# Document chunking: fixed-size word windows with stride (training-sequence
+# slicing). posexplode over a JVM-computed slice list — one generator, no
+# UDF; window count = ceil(n_words / stride) rows per doc.
+@query(
+    "doc_word_windows",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words
+               FROM documents WHERE doc_id < 100),
+    idx AS (SELECT doc_id, words, generate_subscripts(words, 1) AS i FROM w)
+    SELECT doc_id, CAST((i - 1) / 5 AS INT) AS window_idx,
+           array_to_string(words[i:least(i + 4, len(words))], ' ') AS chunk
+    FROM idx WHERE (i - 1) % 5 = 0
+    ORDER BY doc_id, window_idx
+    """,
+)
+def doc_word_windows(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    words = F.split(F.trim(F.col("text")), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((F.size(words) - F.lit(1)) / F.lit(5)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        starts,
+        lambda k: F.concat_ws(
+            " ", F.slice(words, k * 5 + 1, F.lit(5))
+        ),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("window_idx", "chunk")
+    ).orderBy("doc_id", "window_idx")
+
+
+# ===========================================================================
 # Iterative training: distributed spherical k-means (operators/similarity.py)
 # — rows-only (driver-coordinated iteration is not one SQL statement; pytest
 # asserts monotone objective + determinism instead)

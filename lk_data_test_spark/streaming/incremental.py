@@ -182,6 +182,50 @@ def running_source_stats(
     )
 
 
+def deduped_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 4,
+):
+    """Streaming exact dedup at ingest: keep the first arrival of each
+    ``doc_id`` via ``dropDuplicatesWithinWatermark`` — re-delivered or
+    double-ingested sequences are dropped before they ever reach the
+    validation suite, and the dedup state for a key is released once the
+    watermark passes its arrival time, so state stays bounded at any corpus
+    rate (plain ``dropDuplicates`` on a stream retains every key forever).
+
+    The streaming counterpart of ``operators/dedup.exact_duplicates`` and
+    the uniqueness rule: batch finds duplicates after the fact; this stops
+    them at the door. Requires an ``ingested_at`` event-time column (same
+    contract as :func:`windowed_violation_counts`).
+
+    Returns the StreamingQuery; deduped sequences land in ``output_dir``.
+    """
+    schema = T.StructType(
+        SEQ_STREAM_SCHEMA.fields
+        + [T.StructField("ingested_at", T.TimestampType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    deduped = stream.withWatermark(
+        "ingested_at", watermark
+    ).dropDuplicatesWithinWatermark(["doc_id"])
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EVENT_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -165,6 +165,52 @@ def test_running_source_stats_state(spark, tmp_path):
     assert final["nope"]["n_batches"] >= 2
 
 
+def test_deduped_ingest_drops_redelivered_docs(spark, tmp_path):
+    """dropDuplicatesWithinWatermark at ingest: a doc_id re-delivered in a
+    later micro-batch (within the watermark) is dropped; first arrivals and
+    genuinely-new docs pass through exactly once."""
+    from lk_data_test_spark.streaming.incremental import deduped_ingest
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = (
+        "doc_id string, tokens array<int>, n_tok int, source string,"
+        " part_id int, ingested_at timestamp"
+    )
+    b1 = [
+        ("d0", [1, 2], 2, "fackel", 0, t0),
+        ("d1", [3], 1, "fackel", 0, t0 + dt.timedelta(seconds=5)),
+        ("d2", [4], 1, "fackel", 0, t0 + dt.timedelta(seconds=9)),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        os.path.join(input_dir, "b1")
+    )
+    time.sleep(1.1)  # distinct mtimes -> deterministic micro-batch order
+    b2 = [
+        ("d1", [3], 1, "fackel", 0, t0 + dt.timedelta(seconds=20)),  # redeliv
+        ("d2", [4], 1, "fackel", 0, t0 + dt.timedelta(seconds=25)),  # redeliv
+        ("d3", [5], 1, "fackel", 0, t0 + dt.timedelta(seconds=30)),  # new
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        os.path.join(input_dir, "b2")
+    )
+
+    q = deduped_ingest(
+        spark,
+        input_dir + "/*",
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        watermark="2 hours",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == ["d0", "d1", "d2", "d3"]
+
+
 def test_session_activity_stream(spark, tmp_path):
     """Event-time sessionization (built-in session_window): sessions close
     exactly once when the watermark passes session_end; open sessions are
