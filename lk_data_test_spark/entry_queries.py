@@ -1957,6 +1957,70 @@ def salted_hot_word_join(spark, sf_dir):
     )
 
 
+# VARIANT path (Spark 4 semi-structured type): parse the JSON once into a
+# VARIANT, shred typed fields from it — the open-schema analog of
+# props_json_buckets' string-path get_json_object. At scale VARIANT wins
+# when several fields come out of one parse (one decode, many extractions).
+@query(
+    "props_variant_stats",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INT) // 25 AS k_quartile,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY 1 ORDER BY k_quartile
+    """,
+)
+def props_variant_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select(F.floor(k / 25).cast("int").alias("k_quartile"), k.alias("k"))
+        .groupBy("k_quartile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
+        .orderBy("k_quartile")
+    )
+
+
+# Bigram top-k: adjacent-pair language statistics. JVM-side pair
+# construction (indexed transform over the word array — no UDF, no
+# self-join on position), then the standard two-phase count + global top-k.
+# The Python-UDTF lateral-join surface computes the same thing on a sample
+# in tests (tests/test_ops_misc.py::test_bigram_udtf_matches_jvm_path).
+@query(
+    "bigram_top15",
+    """
+    WITH w AS (SELECT string_split(trim(text), ' ') AS ws FROM documents),
+    b AS (SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+          FROM (SELECT ws, generate_subscripts(ws, 1) AS i FROM w)
+          WHERE i < len(ws)),
+    c AS (SELECT bigram, count(*) AS n FROM b GROUP BY 1)
+    SELECT bigram, n, rk FROM (
+      SELECT bigram, n,
+             CAST(row_number() OVER (ORDER BY n DESC, bigram) AS INT) AS rk
+      FROM c)
+    WHERE rk <= 15 ORDER BY rk
+    """,
+)
+def bigram_top15(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    bigrams = F.transform(
+        F.slice(words, 1, F.size(words) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(words, i + 2)),
+    )
+    counts = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.orderBy(F.col("n").desc(), "bigram")
+    return (
+        counts.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= 15)
+        .orderBy("rk")
+    )
+
+
 # ===========================================================================
 # Training-corpus preparation: split / shard / vocab / packing
 # ===========================================================================

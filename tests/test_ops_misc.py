@@ -241,6 +241,49 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bj_b")
 
 
+def test_bigram_udtf_matches_jvm_path(spark):
+    """The Python-UDTF lateral-TVF surface (custom 1->N fan-out beyond what
+    explode expresses) produces the same bigram counts as the JVM indexed-
+    transform path on the same sample. The UDTF is the API demo; the JVM
+    path is what bigram_top15 ships at scale (per-row Python stays out of
+    full-corpus plans)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            ws = text.strip().split(" ")
+            for a, b in zip(ws, ws[1:]):
+                yield (f"{a} {b}",)
+
+    spark.udtf.register("bigrams", Bigrams)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    d.createOrReplaceTempView("udtf_docs")
+    got = {
+        (r["bigram"], r["n"])
+        for r in spark.sql(
+            "SELECT b.bigram, count(*) AS n FROM udtf_docs d,"
+            " LATERAL bigrams(d.text) b GROUP BY b.bigram"
+        ).collect()
+    }
+
+    words = F.split(F.trim(F.col("text")), " ")
+    bigrams = F.transform(
+        F.slice(words, 1, F.size(words) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(words, i + 2)),
+    )
+    jvm = {
+        (r["bigram"], r["n"])
+        for r in d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == jvm and len(jvm) > 50
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salted hot-key join is row-identical to the plain equi-join for inner
     AND left joins (incl. unmatched fact rows), and the physical shuffle is
