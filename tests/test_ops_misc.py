@@ -241,6 +241,37 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bj_b")
 
 
+def test_no_cartesian_product_in_any_registry_plan(spark):
+    """Global scale guard: NO registry query may plan a CartesianProduct.
+    The brute-force similarity baselines are allowed their BroadcastNestedLoop
+    (bounded: n_queries x corpus with a broadcast query side), but an
+    unbounded cartesian anywhere is a 100 TB outage. Driver-coordinated
+    iterative queries (kmeans, dup_clusters, the rule suite) are skipped —
+    building them EXECUTES jobs; their shapes are asserted by their own
+    tests."""
+    import __spark_entry__ as entry
+
+    eager = {
+        "embedding_kmeans_clusters",
+        "embedding_ann_ivf_trained",
+        "dup_clusters",
+        "validation_suite_verdicts",
+    }
+    bad = []
+    for name, fn in entry.queries().items():
+        if name in eager:
+            continue
+        plan = (
+            fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"cartesian product planned in: {bad}"
+
+
 def test_bigram_udtf_matches_jvm_path(spark):
     """The Python-UDTF lateral-TVF surface (custom 1->N fan-out beyond what
     explode expresses) produces the same bigram counts as the JVM indexed-
