@@ -28,7 +28,26 @@ if _REPO not in sys.path:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument(
+        "--query",
+        default=None,
+        help="run one registry query instead of the validation suite: a name "
+        "from entry_queries (or 'list' to print all names) over --sf-dir",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="parquet table dir for --query mode",
+    )
+    ap.add_argument(
+        "--show", type=int, default=0, help="print first N result rows (--query)"
+    )
+    ap.add_argument(
+        "--ignore-corrupt-files",
+        action="store_true",
+        help="skip unreadable parquet files instead of failing the suite",
+    )
     ap.add_argument("--generate", action="store_true")
     ap.add_argument("--parts", type=int, default=16)
     ap.add_argument("--rows-per-part", type=int, default=2000)
@@ -54,7 +73,43 @@ def main(argv: list[str] | None = None) -> int:
     from lk_data_test_spark.session import get_spark
     from lk_data_test_spark.sources.catalog import PartitionedTable
 
+    if args.query == "list":
+        from lk_data_test_spark import entry_queries
+
+        for name in sorted(entry_queries.Q):
+            oracle = "oracle" if name in entry_queries.ORACLE else "rows-only"
+            print(f"{name}  [{oracle}]")
+        return 0
+
     spark = get_spark("lk-validate-cli", cores=args.cores)
+
+    if args.query is not None:
+        from lk_data_test_spark import entry_queries
+
+        if args.query not in entry_queries.Q:
+            print(f"unknown query {args.query!r}; try --query list", file=sys.stderr)
+            return 2
+        t0 = time.time()
+        df = entry_queries.Q[args.query](spark, args.sf_dir)
+        n = df.count()
+        elapsed = round(time.time() - t0, 2)
+        if args.show:
+            df.show(args.show, truncate=False)
+        print(
+            json.dumps(
+                {
+                    "query": args.query,
+                    "rows": n,
+                    "columns": df.columns,
+                    "sf_dir": args.sf_dir,
+                    "elapsed_sec": elapsed,
+                }
+            )
+        )
+        return 0
+
+    if args.data_dir is None:
+        ap.error("--data-dir is required unless --query is given")
 
     cfg = GenConfig(n_parts=args.parts, rows_per_part=args.rows_per_part)
     seq_path = os.path.join(args.data_dir, "sequences")
@@ -68,7 +123,7 @@ def main(argv: list[str] | None = None) -> int:
 
     runner = ValidationRunner(
         spark,
-        PartitionedTable(seq_path),
+        PartitionedTable(seq_path, tolerate_corrupt=args.ignore_corrupt_files),
         allowed_sources=spark.read.parquet(
             os.path.join(args.data_dir, "allowed_sources")
         ),

@@ -42,13 +42,37 @@ class PartitionInfo:
 class PartitionedTable:
     """A parquet table partitioned by ``part_id`` with lineage inspection."""
 
-    def __init__(self, path: str, partition_col: str = "part_id"):
+    def __init__(
+        self,
+        path: str,
+        partition_col: str = "part_id",
+        tolerate_corrupt: bool = False,
+        schema=None,
+    ):
         self.path = path
         self.partition_col = partition_col
+        # At 10^12 rows a single truncated/corrupt file must not abort the
+        # whole suite: with tolerate_corrupt the scan skips unreadable files
+        # (they surface as a lineage change — the partition's snapshot digest
+        # differs on the next healthy listing — rather than a job failure).
+        # Pass ``schema`` too when tolerating: Spark infers the parquet schema
+        # from ONE sampled file, and if that file is the corrupt one the read
+        # dies with UNABLE_TO_INFER_SCHEMA before ignoreCorruptFiles can help.
+        # Without an explicit schema the tolerant path falls back to
+        # mergeSchema (all healthy footers, read in parallel).
+        self.tolerate_corrupt = tolerate_corrupt
+        self.schema = schema
 
     # -- reading ---------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        r = spark.read
+        if self.schema is not None:
+            r = r.schema(self.schema)
+        if self.tolerate_corrupt:
+            r = r.option("ignoreCorruptFiles", "true")
+            if self.schema is None:
+                r = r.option("mergeSchema", "true")
+        return r.parquet(self.path)
 
     def read_partitions(self, spark: SparkSession, part_ids: list[int]) -> DataFrame:
         """Partition-pruned read: the filter on the directory column prunes

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -239,6 +241,51 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bj_a")
         spark.sql("DROP TABLE IF EXISTS bj_b")
+
+
+def test_tolerate_corrupt_skips_bad_files(spark, tmp_path):
+    """A truncated file in one partition aborts the default scan but is
+    skipped under tolerate_corrupt — the 10^12-row suite must not die to one
+    bad file; the lineage digest still changes so resume re-validates it."""
+    import pytest as _pytest
+
+    from lk_data_test_spark.sources.catalog import PartitionedTable
+
+    root = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(f"d{i}", 0) for i in range(10)], "doc_id string, part_id int"
+    ).write.partitionBy("part_id").parquet(root)
+    with open(os.path.join(root, "part_id=0", "junk.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+
+    with _pytest.raises(Exception):
+        PartitionedTable(root).read(spark).count()
+    t = PartitionedTable(root, tolerate_corrupt=True)
+    assert t.read(spark).count() == 10
+    # the corrupt file participates in the snapshot digest: its appearance
+    # changed the partition lineage, so a manifest resume re-validates
+    assert "junk.parquet" in t.partition_info(0).files
+
+
+def test_cli_query_mode(spark, capsys):
+    """--query runs one registry query end-to-end and prints a JSON line."""
+    import json as _json
+
+    from lk_data_test_spark.cli import main
+
+    rc = main(
+        ["--query", "event_type_counts", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    got = _json.loads(out)
+    assert got["query"] == "event_type_counts" and got["rows"] == 5
+
+    rc = main(["--query", "list"])
+    assert rc == 0
+    listing = capsys.readouterr().out
+    assert "event_type_counts  [oracle]" in listing
+    assert main(["--query", "nope_not_real"]) == 2
 
 
 def test_no_cartesian_product_in_any_registry_plan(spark):
