@@ -1957,6 +1957,48 @@ def salted_hot_word_join(spark, sf_dir):
     )
 
 
+# Scored best-match join (operators/matching.py) — the reference's
+# enrichment-matcher shape (enrich_fackel_bibls.py:77-96): de docs matched
+# against the en index by shared-rare-shingle score, deterministic argmax
+# per left doc with a threshold. Oracle = the same semantics in SQL.
+@query(
+    "best_cross_lang_match",
+    """
+    WITH l AS (SELECT doc_id AS lid, string_split(trim(text), ' ') AS ws
+               FROM documents WHERE lang = 'de'),
+    r AS (SELECT doc_id AS rid, string_split(trim(text), ' ') AS ws
+          FROM documents WHERE lang = 'en'),
+    li AS (SELECT lid, ws, generate_subscripts(ws, 1) AS i FROM l),
+    ri AS (SELECT rid, ws, generate_subscripts(ws, 1) AS i FROM r),
+    lw AS (SELECT DISTINCT lid, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+           FROM li WHERE i + 2 <= len(ws)),
+    rw AS (SELECT DISTINCT rid, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+           FROM ri WHERE i + 2 <= len(ws)),
+    dfc AS (SELECT sh FROM (SELECT sh FROM lw UNION ALL SELECT sh FROM rw)
+            GROUP BY sh HAVING count(*) <= 20),
+    cand AS (SELECT lid, rid, count(*) AS score
+             FROM lw JOIN dfc USING (sh) JOIN rw USING (sh) GROUP BY 1, 2),
+    best AS (SELECT lid, rid, score,
+                    row_number() OVER (PARTITION BY lid
+                                       ORDER BY score DESC, rid) AS rk
+             FROM cand)
+    SELECT lid AS doc_id, rid AS match_id, score
+    FROM best WHERE rk = 1 AND score >= 2 ORDER BY doc_id
+    """,
+)
+def best_cross_lang_match(spark, sf_dir):
+    from .operators.matching import scored_best_match
+
+    d = _t(spark, sf_dir, "documents")
+    return scored_best_match(
+        d.filter(F.col("lang") == "de").select("doc_id", "text"),
+        d.filter(F.col("lang") == "en").select("doc_id", "text"),
+        n=3,
+        max_df=20,
+        min_score=2,
+    ).orderBy("doc_id")
+
+
 # VARIANT path (Spark 4 semi-structured type): parse the JSON once into a
 # VARIANT, shred typed fields from it — the open-schema analog of
 # props_json_buckets' string-path get_json_object. At scale VARIANT wins

@@ -243,6 +243,32 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bj_b")
 
 
+def test_scored_best_match_argmax_tiebreak_and_blocking(spark):
+    """Best-match semantics: deterministic argmax per left doc (score desc,
+    lowest right id on ties) and hot-shingle blocking — a left doc whose only
+    shared shingle exceeds max_df gets NO match (the quadratic guard), it is
+    absent rather than wrongly matched."""
+    from lk_data_test_spark.operators.matching import scored_best_match
+
+    left = spark.createDataFrame(
+        [(1, "w x y z q r"), (2, "m n o p")], "doc_id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(11, "w x y z c d"), (10, "w x y z a b")]
+        + [(20 + i, f"m n o t{i} u{i}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["match_id"], r["score"])
+        for r in scored_best_match(
+            left, right, n=3, max_df=3, min_score=2
+        ).collect()
+    }
+    # doc 1 ties 10 vs 11 at score 2 -> lowest rid wins; doc 2's only shared
+    # shingle "m n o" has df=10 > max_df -> blocked, no match emitted
+    assert got == {1: (10, 2)}
+
+
 def test_tolerate_corrupt_skips_bad_files(spark, tmp_path):
     """A truncated file in one partition aborts the default scan but is
     skipped under tolerate_corrupt — the 10^12-row suite must not die to one
