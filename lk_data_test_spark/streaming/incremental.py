@@ -292,6 +292,78 @@ def session_activity(
     )
 
 
+def correlated_click_errors(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    max_lag: str = "60 seconds",
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int = 4,
+):
+    """Stateful stream-stream join: each error event joined to the same
+    user's click events from the preceding ``max_lag`` — "which click
+    preceded this error" correlation, computed online.
+
+    Both sides carry watermarks and the join predicate bounds the event-time
+    distance, so Spark can expire buffered rows once the watermark passes
+    their join horizon — bounded state on both sides at any event rate (an
+    unconstrained stream-stream join would buffer forever). Inner join +
+    append mode: each (click, error) pair is emitted exactly once, when
+    provably final.
+
+    Returns the StreamingQuery; output_dir gets parquet
+    ``(user_id, click_id, error_id, click_ts, error_ts)``.
+    """
+    def side(kind: str):
+        return (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir)
+            .filter(F.col("event_type") == kind)
+        )
+
+    clicks = (
+        side("click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        side("error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    joined = clicks.join(
+        errors,
+        F.expr(
+            "c_user = e_user AND "
+            f"click_ts <= error_ts AND click_ts >= error_ts - INTERVAL {max_lag}"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        "click_ts",
+        "error_ts",
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_violation_counts(
     spark: SparkSession,
     input_dir: str,

@@ -165,6 +165,54 @@ def test_running_source_stats_state(spark, tmp_path):
     assert final["nope"]["n_batches"] >= 2
 
 
+def test_stream_stream_click_error_join(spark, tmp_path):
+    """Stateful stream-stream join with event-time bounds: an error joins
+    every same-user click within the preceding 60s — across micro-batches
+    (the click arrives in batch 1, the error in batch 2, so the click must
+    be held in join state); clicks outside the lag window or from other
+    users never pair."""
+    from lk_data_test_spark.streaming.incremental import correlated_click_errors
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    b1 = [
+        (1, t0, 1, "click", 0.0, "{}"),                                # pairs
+        (2, t0 - dt.timedelta(seconds=90), 1, "click", 0.0, "{}"),     # too old
+        (3, t0 + dt.timedelta(seconds=10), 2, "click", 0.0, "{}"),     # user 2
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        os.path.join(input_dir, "b1")
+    )
+    time.sleep(1.1)  # distinct mtimes -> deterministic micro-batch order
+    b2 = [
+        (10, t0 + dt.timedelta(seconds=30), 1, "error", 0.0, "{}"),
+        (11, t0 + dt.timedelta(seconds=35), 1, "click", 0.0, "{}"),    # after
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        os.path.join(input_dir, "b2")
+    )
+
+    q = correlated_click_errors(
+        spark,
+        input_dir + "/*",
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        max_lag="60 seconds",
+        watermark="2 minutes",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {(r["click_id"], r["error_id"]) for r in out.collect()}
+    assert got == {(1, 10)}
+
+
 def test_deduped_ingest_drops_redelivered_docs(spark, tmp_path):
     """dropDuplicatesWithinWatermark at ingest: a doc_id re-delivered in a
     later micro-batch (within the watermark) is dropped; first arrivals and
