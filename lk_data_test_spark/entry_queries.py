@@ -1957,6 +1957,120 @@ def salted_hot_word_join(spark, sf_dir):
     )
 
 
+# Equi-depth histogram via ntile: quartile boundaries of n_chars per lang —
+# the complement of doc_chars_histogram's equi-width buckets. One shuffle on
+# lang, one sorted window pass.
+@query(
+    "chars_quartiles_by_lang",
+    """
+    WITH t AS (SELECT lang, n_chars,
+                      ntile(4) OVER (PARTITION BY lang
+                                     ORDER BY n_chars, doc_id) AS q
+               FROM documents)
+    SELECT lang, CAST(q AS INT) AS quartile, count(*) AS n,
+           min(n_chars) AS lo, max(n_chars) AS hi
+    FROM t GROUP BY lang, q ORDER BY lang, quartile
+    """,
+)
+def chars_quartiles_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        .groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("lang", "quartile")
+    )
+
+
+# Map-family aggregation: per source, a CANONICAL (key-sorted, no-space)
+# JSON object of lang -> doc count, built JVM-side from
+# map_from_entries(array_sort(collect_list(struct))) — the grouped-map
+# rollup the reference's Counter-per-key reports produce
+# (check_fackel_references.py:33-35), emitted in a cross-engine-stable text
+# form.
+@query(
+    "source_lang_map",
+    """
+    WITH c AS (SELECT source, lang, count(*) AS n
+               FROM documents GROUP BY 1, 2)
+    SELECT source,
+           '{' || string_agg(format('"{}":{}', lang, n), ','
+                             ORDER BY lang) || '}' AS lang_counts
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def source_lang_map(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("lang", "n")))
+                )
+            ).alias("lang_counts")
+        )
+        .orderBy("source")
+    )
+
+
+# Pearson correlation, engine-portable: built-in corr() accumulates doubles
+# in partition order (bits differ across engines/plans), so compute it from
+# EXACT BIGINT moment sums and evaluate the identical closed-form double
+# expression in both engines — same int64 inputs, same IEEE ops, same bits.
+@query(
+    "chars_words_corr",
+    """
+    WITH m AS (
+      SELECT source, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM (SELECT source, n_chars AS x,
+                   len(string_split(trim(text), ' ')) AS y
+            FROM documents)
+      GROUP BY source)
+    SELECT source, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_chars_words
+    FROM m ORDER BY source
+    """,
+)
+def chars_words_corr(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("y"),
+    )
+    m = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "source", "n", (num / den).alias("corr_chars_words")
+    ).orderBy("source")
+
+
 # Scored best-match join (operators/matching.py) — the reference's
 # enrichment-matcher shape (enrich_fackel_bibls.py:77-96): de docs matched
 # against the en index by shared-rare-shingle score, deterministic argmax
