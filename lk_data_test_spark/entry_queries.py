@@ -1843,6 +1843,74 @@ def event_type_pivot(spark, sf_dir):
     )
 
 
+# Unpivot (wide -> long, the inverse of event_type_pivot): melt the
+# per-month conditional counters back to (month, event_type, n) rows.
+# Spark's unpivot is a zero-shuffle projection+generator over the wide rows.
+@query(
+    "event_type_unpivot",
+    """
+    WITH wide AS (
+      SELECT strftime(ts, '%Y-%m') AS month,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'error') AS error,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY 1)
+    SELECT month, event_type, n
+    FROM wide
+    UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+    WHERE n > 0 ORDER BY month, event_type
+    """,
+)
+def event_type_unpivot(spark, sf_dir):
+    wide = event_type_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["month"],
+            values=_EVENT_TYPES,
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("month", "event_type")
+    )
+
+
+# The remaining ranking-window family in one pass: rank / dense_rank /
+# percent_rank / cume_dist / lag / lead over each user's event timeline.
+# percent_rank and cume_dist are exact small-integer ratios -> portable
+# doubles; one shuffle on user_id serves all six functions.
+@query(
+    "user_event_rank_family",
+    """
+    SELECT event_id, user_id,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def user_event_rank_family(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+    ).orderBy("event_id")
+
+
 # Rolling window aggregate (ROWS frame): trailing-4-event spend per user.
 # One shuffle on user_id; the frame is evaluated in a single sorted pass per
 # partition. Cents keep the sum integer-exact across engines.
