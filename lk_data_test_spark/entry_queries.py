@@ -317,6 +317,44 @@ def orders_by_month(spark, sf_dir):
     )
 
 
+# Time-series resample with gap fill: a calendar spine generated from the
+# observed [min, max] month range (sequence + explode over a 1-row
+# aggregate — no driver round-trip) left-joined to the sparse counts, so
+# silent gaps become explicit zeros. The URGENT filter induces real gaps.
+@query(
+    "urgent_orders_gapfilled",
+    """
+    WITH m AS (SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n
+               FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+    cal AS (SELECT unnest(generate_series((SELECT min(mo) FROM m),
+                                          (SELECT max(mo) FROM m),
+                                          INTERVAL 1 MONTH)) AS mo)
+    SELECT strftime(cal.mo, '%Y-%m') AS month,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+    FROM cal LEFT JOIN m USING (mo) ORDER BY month
+    """,
+)
+def urgent_orders_gapfilled(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    m = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("mo")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cal = (
+        m.agg(F.min("mo").alias("lo"), F.max("mo").alias("hi"))
+        .select(F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("mo"))
+    )
+    return (
+        cal.join(m, "mo", "left")
+        .select(
+            F.date_format("mo", "yyyy-MM").alias("month"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
 # §2.8 date — ISO range extraction with fallback (extract_begin_end,
 # make_listwork.py:833-841): range strings synthesized from event timestamps,
 # parsed back to (begin, end) date pairs; single dates fall back to begin=end

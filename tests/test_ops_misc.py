@@ -243,6 +243,21 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bj_b")
 
 
+def test_hll_approx_distinct_within_error_bound(spark):
+    """The HLL screen the uniqueness rule leans on: approx_count_distinct at
+    the default rsd=0.05 stays within 3*rsd of exact on real column shapes
+    (doc_id ~unique; source low-cardinality)."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    row = d.agg(
+        F.approx_count_distinct("doc_id").alias("a_doc"),
+        F.countDistinct("doc_id").alias("e_doc"),
+        F.approx_count_distinct("source").alias("a_src"),
+        F.countDistinct("source").alias("e_src"),
+    ).collect()[0]
+    assert abs(row["a_doc"] - row["e_doc"]) / row["e_doc"] <= 0.15
+    assert abs(row["a_src"] - row["e_src"]) / row["e_src"] <= 0.15
+
+
 def test_scored_best_match_argmax_tiebreak_and_blocking(spark):
     """Best-match semantics: deterministic argmax per left doc (score desc,
     lowest right id on ties) and hot-shingle blocking — a left doc whose only
