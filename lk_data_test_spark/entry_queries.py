@@ -1308,6 +1308,68 @@ def event_sessions(spark, sf_dir):
     )
 
 
+# Session funnel: compose sessionization with conditional aggregation —
+# per user, how many sessions, how many contained a click, and how many
+# converted (click AND purchase in the same session). Same one-shuffle
+# session assignment as event_sessions; the funnel flags are bool_or-style
+# max(CASE) per session then summed per user.
+@query(
+    "session_funnel",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS flag
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM x
+    ),
+    per_session AS (
+      SELECT user_id, session_idx,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_buy
+      FROM s GROUP BY user_id, session_idx)
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(has_click) AS BIGINT) AS click_sessions,
+           CAST(sum(has_click * has_buy) AS BIGINT) AS converted_sessions
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+)
+def session_funnel(spark, sf_dir):
+    from .operators.temporal import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    per_session = (
+        sessionize(e, gap_sec=1800)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("has_click"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("has_buy"),
+        )
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("has_click").alias("click_sessions"),
+            F.sum(F.col("has_click") * F.col("has_buy")).alias(
+                "converted_sessions"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 # As-of join (operators/temporal.py): attach each user's most recent error
 # event at-or-before every event. The oracle is DuckDB's NATIVE ASOF JOIN —
 # an independent implementation of the same semantics, so agreement is a
