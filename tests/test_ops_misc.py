@@ -243,6 +243,54 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bj_b")
 
 
+def test_doc_word_windows_roundtrip(spark):
+    """Chunking invariant: stride == width means the chunks of each doc
+    reassemble exactly to its trimmed text (no dropped or duplicated
+    words)."""
+    from lk_data_test_spark.entry_queries import Q
+
+    chunks = Q["doc_word_windows"](spark, "/root/testdata/sf0.001")
+    rebuilt = {
+        r["doc_id"]: r["t"]
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("window_idx", "chunk")))
+                .getField("chunk")
+            ).alias("t")
+        )
+        .collect()
+    }
+    orig = {
+        r["doc_id"]: r["t"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.trim(F.col("text")).alias("t"))
+        .collect()
+    }
+    assert rebuilt == orig
+
+
+def test_packed_char_bins_greedy_budget(spark):
+    """Packing invariant: within every (source, bin), removing the largest
+    doc leaves under the 2000-char budget (the defining property of the
+    running-sum greedy packer), and bins are dense from 0 per source."""
+    from lk_data_test_spark.entry_queries import Q
+
+    bins = (
+        Q["packed_char_bins"](spark, "/root/testdata/sf0.001")
+        .groupBy("source", "bin")
+        .agg(F.sum("n_chars").alias("total"), F.max("n_chars").alias("mx"))
+    )
+    rows = bins.collect()
+    assert all(r["total"] - r["mx"] < 2000 for r in rows)
+    by_source: dict[str, set[int]] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(r["bin"])
+    for s, bs in by_source.items():
+        assert bs == set(range(len(bs))), s
+
+
 def test_hll_approx_distinct_within_error_bound(spark):
     """The HLL screen the uniqueness rule leans on: approx_count_distinct at
     the default rsd=0.05 stays within 3*rsd of exact on real column shapes
