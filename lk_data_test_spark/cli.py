@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="skip unreadable parquet files instead of failing the suite",
     )
+    ap.add_argument(
+        "--params",
+        default=None,
+        help="JSON rule-parameter overrides, keyed by rule id, e.g. "
+        '\'{"drift": {"ks_threshold": 0.25}, "uniqueness": {"max_dup_rate": 0}}\'',
+    )
     ap.add_argument("--generate", action="store_true")
     ap.add_argument("--parts", type=int, default=16)
     ap.add_argument("--rows-per-part", type=int, default=2000)
@@ -131,6 +137,7 @@ def main(argv: list[str] | None = None) -> int:
             os.path.join(args.data_dir, "reference_profiles")
         ),
         output_dir=os.path.join(args.data_dir, "validation_out"),
+        params=json.loads(args.params) if args.params else None,
     )
     run_times = []
     for i in range(max(1, args.repeat)):

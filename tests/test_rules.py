@@ -116,6 +116,22 @@ def test_drift_tdigest_method_agrees(ctx_df):
         assert abs(hist[pid] - td[pid]) < 0.25 * max(1.0, hist[pid]), pid
 
 
+def test_drift_threshold_override_flips_verdict(ctx_df):
+    """Operator thresholds are per-run configuration (cli --params ->
+    RuleContext.params): loosening drift's thresholds far enough turns every
+    FAIL into PASS — the override demonstrably reaches the scoring."""
+    ctx, df = ctx_df
+    loose = RuleContext(
+        spark=ctx.spark,
+        allowed_sources=ctx.allowed_sources,
+        reference_profiles=ctx.reference_profiles,
+        part_ids=ctx.part_ids,
+        params={"drift": {"ks_threshold": 1e9, "l1_threshold": 1e9}},
+    )
+    res = drift.evaluate(df, loose)
+    assert _failing(res.verdicts) == set()
+
+
 def test_violations_are_column_pruned(ctx_df):
     """The referential plan must never read the `tokens` column."""
     ctx, df = ctx_df
