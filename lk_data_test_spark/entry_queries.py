@@ -231,16 +231,16 @@ def top_line_per_order(spark, sf_dir):
     """,
 )
 def priority_surrogate_keys(spark, sf_dir):
+    # Aggregate to the (5-value) priority domain FIRST, then rank: the global
+    # window only ever sees the distinct dimension values, never fact rows, so
+    # the single-task sort is bounded by the enum's cardinality at any scale.
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderpriority")
-    return (
-        o.select(
-            F.col("o_orderpriority").alias("priority"),
-            F.format_string("sk_lk%05d", F.dense_rank().over(w)).alias("sk"),
-        )
-        .distinct()
-        .orderBy("priority")
-    )
+    pri = o.select(F.col("o_orderpriority").alias("priority")).distinct()
+    w = Window.orderBy("priority")
+    return pri.select(
+        "priority",
+        F.format_string("sk_lk%05d", F.dense_rank().over(w)).alias("sk"),
+    ).orderBy("priority")
 
 
 # §2.5 W3 — sort-by-count ranking (check_fackel_references.py:33-35)
@@ -2337,10 +2337,14 @@ def bigram_top15(spark, sf_dir):
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition partial top-15, merged on the driver) — the full bigram
+    # vocabulary is never funneled through one task. Only the 15 surviving
+    # rows pass through the numbering window.
+    top = counts.orderBy(F.col("n").desc(), "bigram").limit(15)
     win = Window.orderBy(F.col("n").desc(), "bigram")
     return (
-        counts.withColumn("rk", F.row_number().over(win).cast("int"))
-        .filter(F.col("rk") <= 15)
+        top.withColumn("rk", F.row_number().over(win).cast("int"))
         .orderBy("rk")
     )
 
@@ -2407,6 +2411,15 @@ def doc_split_shards(spark, sf_dir):
     """,
 )
 def vocab_ids(spark, sf_dir):
+    # Dense global ids WITHOUT a single-task global window (an unbounded
+    # vocabulary would funnel through one task at scale). Two-stage rank:
+    #   1. range-partition the vocab on the id order (df DESC, word) so
+    #      partition p holds a contiguous, sorted-before-(p+1) key range;
+    #   2. local row_number within each range partition (distributed sort);
+    #   3. exclusive prefix-sum of the P per-partition counts (a broadcast
+    #      triangular join over P<=32 rows — never fact data) as the offset.
+    # token_id = offset(pid) + local_rank, identical to the global rank for
+    # any boundary placement because range partitioning preserves key order.
     d = _t(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
@@ -2416,10 +2429,28 @@ def vocab_ids(spark, sf_dir):
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= 5)
     )
-    win = Window.orderBy(F.col("df").desc(), "word")
-    return df.select(
-        "word", "df", F.row_number().over(win).cast("int").alias("token_id")
-    ).orderBy("token_id")
+    n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(
+        n_ranges, F.col("df").desc(), F.col("word")
+    ).withColumn("pid", F.spark_partition_id())
+    lwin = Window.partitionBy("pid").orderBy(F.col("df").desc(), "word")
+    local = ranged.withColumn("lrk", F.row_number().over(lwin))
+    cnt = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = (
+        cnt.alias("a")
+        .join(F.broadcast(cnt.alias("b")), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "word",
+            "df",
+            (F.col("offset") + F.col("lrk")).cast("int").alias("token_id"),
+        )
+        .orderBy("token_id")
+    )
 
 
 # Sequence packing: greedy fill of fixed token-budget training bins per

@@ -408,6 +408,52 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
     assert not bad, f"cartesian product planned in: {bad}"
 
 
+def test_no_unbounded_global_window_in_any_registry_plan(spark):
+    """Global scale guard: NO registry query may plan a Window with an empty
+    partition spec over unbounded input — that funnels the whole dataset
+    through ONE task for the sort. An unpartitioned Window is allowed only
+    when its subtree contains a Limit (orderBy+limit compiles to a
+    distributed TakeOrderedAndProject, so the window sees <= k rows), or when
+    it sits on the explicit allowlist of aggregated bounded-domain inputs."""
+    import __spark_entry__ as entry
+
+    eager = {
+        "embedding_kmeans_clusters",
+        "embedding_ann_ivf_trained",
+        "dup_clusters",
+        "validation_suite_verdicts",
+    }
+    # priority_surrogate_keys: window input is the DISTINCT 5-value priority
+    # enum (aggregated before ranking) — bounded by the dimension domain.
+    allow = {"priority_surrogate_keys"}
+
+    def nodes(p):
+        yield p
+        for i in range(p.children().size()):
+            yield from nodes(p.children().apply(i))
+
+    def has_limit(p):
+        return any(
+            n.nodeName() in ("GlobalLimit", "LocalLimit") for n in nodes(p)
+        )
+
+    bad = []
+    for name, fn in entry.queries().items():
+        if name in eager or name in allow:
+            continue
+        opt = (
+            fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+        )
+        for n in nodes(opt):
+            if n.nodeName() == "Window" and n.partitionSpec().size() == 0:
+                if not has_limit(n):
+                    bad.append(name)
+                    break
+    assert not bad, f"unbounded global window planned in: {bad}"
+
+
 def test_bigram_udtf_matches_jvm_path(spark):
     """The Python-UDTF lateral-TVF surface (custom 1->N fan-out beyond what
     explode expresses) produces the same bigram counts as the JVM indexed-
