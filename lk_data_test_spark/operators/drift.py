@@ -58,6 +58,11 @@ DEFAULTS = {
     # distance from its interpolated CDF — the path for unbounded real-valued
     # drift columns, where an exact histogram has no bounded size.
     "method": "hist",
+    # Driver-OOM guard (plans/shared.py): profiles whose token domain
+    # exceeds max_ref_tokens are folded into hash_buckets hashed buckets on
+    # both the corpus and profile sides instead of being collected raw.
+    "max_ref_tokens": 1_000_000,
+    "hash_buckets": 1 << 16,
 }
 
 def _ks_from_tdigest(
@@ -105,25 +110,59 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
     if profiles is None:
         raise ValueError("drift rule requires ctx.reference_profiles")
 
-    # dimension is tiny (one row per source): close over it driver-side
-    prof_rows = profiles.collect()
-    quantiles: dict[str, np.ndarray] = {
-        r["source"]: np.asarray(r["n_tok_quantiles"], dtype=np.float64)
-        for r in prof_rows
-    }
-    token_freq: dict[str, dict[int, float]] = {
-        r["source"]: dict(r["token_freq"]) for r in prof_rows
-    }
-    ref_tokens = sorted({t for m in token_freq.values() for t in m})
-
     # ---- stage 1: tagged partials — shared with column_stats when the
     # runner provides ctx.shared (ONE scan of `tokens` for the whole suite)
-    from ..plans.shared import KIND_NTOK, KIND_TOKEN, SharedTokenStats
+    from ..plans.shared import (
+        HASH_MULT,
+        KIND_NTOK,
+        KIND_TOKEN,
+        SharedTokenStats,
+    )
 
     shared = ctx.shared
     if shared is None or not isinstance(shared, SharedTokenStats):
-        shared = SharedTokenStats.from_profiles(df, profiles)
+        shared = SharedTokenStats.from_profiles(
+            df, profiles,
+            max_ref_tokens=int(p["max_ref_tokens"]),
+            hash_buckets=int(p["hash_buckets"]),
+        )
     merged = shared.partials.filter(F.col("kind").isin(KIND_NTOK, KIND_TOKEN))
+
+    # The quantile profile is one 99-float row per source — always tiny.
+    quantiles: dict[str, np.ndarray] = {
+        r["source"]: np.asarray(r["n_tok_quantiles"], dtype=np.float64)
+        for r in profiles.select("source", "n_tok_quantiles").collect()
+    }
+    if shared.hash_mod:
+        # Pathological profile (token domain over the cap): the corpus side
+        # counted hashed buckets, so fold the profile into the SAME bucket
+        # domain SPARK-SIDE — the driver only ever sees <= sources x
+        # hash_mod aggregated rows, never the raw token map.
+        mod = int(shared.hash_mod)
+        bucket = F.pmod(
+            F.pmod(F.col("t").cast("bigint") * F.lit(HASH_MULT),
+                   F.lit(1 << 32)),
+            F.lit(mod),
+        )
+        freq_rows = (
+            profiles.select(
+                "source", F.explode("token_freq").alias("t", "freq")
+            )
+            .groupBy("source", bucket.cast("int").alias("b"))
+            .agg(F.sum("freq").alias("freq"))
+            .collect()
+        )
+        token_freq: dict[str, dict[int, float]] = {}
+        for r in freq_rows:
+            token_freq.setdefault(r["source"], {})[int(r["b"])] = float(
+                r["freq"]
+            )
+    else:
+        token_freq = {
+            r["source"]: dict(r["token_freq"])
+            for r in profiles.select("source", "token_freq").collect()
+        }
+    ref_tokens = sorted({t for m in token_freq.values() for t in m})
 
     # ---- fused stage 2: KS + L1 per (part_id, source) ---------------------
     ref_idx = {t: i for i, t in enumerate(ref_tokens)}
@@ -204,7 +243,10 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
             (F.coalesce(F.col("metric"), F.lit(0.0)) <= 1.0).alias("passed"),
             F.coalesce(F.col("metric"), F.lit(0.0)).alias("metric"),
             F.lit(1.0).alias("threshold"),
-            F.lit(f"method={p['method']}").alias("detail"),
+            F.lit(
+                f"method={p['method']}"
+                + (f";domain=hashed:{shared.hash_mod}" if shared.hash_mod else "")
+            ).alias("detail"),
         )
     )
     return RuleResult(verdicts, violations, stats=per_group)

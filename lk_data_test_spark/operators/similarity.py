@@ -283,41 +283,75 @@ def ann_lsh_topk(
     n_queries: int = 10,
     n_planes: int = 12,
     dim: int = 64,
+    n_tables: int = 1,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature -> bucket equi-join ->
     exact cosine within bucket.
 
-    At 100 TB the bucket join shuffles only (bucket, vec) pairs with matching
-    signatures; skewed buckets are split by AQE. Recall is tunable via
-    n_planes (fewer planes = bigger buckets = higher recall).
+    Multi-table OR-amplification: each of ``n_tables`` signature tables uses
+    its own ``n_planes`` hyperplanes; a pair is a candidate if it collides in
+    ANY table (P = 1-(1-p^b)^L vs the single-table p^b, which collapses to
+    ~0 recall when true neighbors are only moderately close). Candidate rows
+    are exploded as (table:signature) keys, so at 100 TB the bucket join
+    shuffles n_tables copies of (bucket, quantized vec) — the standard LSH
+    space/recall trade — and skewed buckets are split by AQE.
+
+    ``multiprobe`` additionally probes, per table, every bucket at Hamming
+    distance 1 from the query's signature — fanning out ONLY the broadcast
+    query side (n_queries x n_tables x (n_planes+1) rows), never the corpus
+    side, for a per-table hit probability of p^b + b*p^(b-1)*(1-p). Recall
+    tunes with (n_planes down | n_tables up | multiprobe on).
     """
-    planes = lsh_hyperplanes(dim, n_planes)
-    # signature bit b = sign(dot(embedding, plane_b)) — computed JVM-side from
-    # literal plane arrays (no UDF): sum over zip_with products.
-    plane_cols = [
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(float(x)) for x in planes[b]]),
-                lambda e, p: e.cast("double") * p,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        for b in range(n_planes)
-    ]
-    sig = F.concat_ws(
-        "", *[F.when(c >= 0, F.lit("1")).otherwise(F.lit("0")) for c in plane_cols]
+    planes = lsh_hyperplanes(dim, n_planes * n_tables).reshape(
+        n_tables, n_planes, dim
     )
-    # bucket, quantized vector, and norm in ONE projection over the scan (a
-    # vec_id self-join here shuffled the vector table twice; measured 6x
-    # slower at sf0.1)
-    bucketed = embeddings.select(
-        "vec_id",
-        sig.alias("bucket"),
-        quantized(F.col("embedding")).alias("q"),
-    ).withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
-    queries = bucketed.filter(F.col("vec_id") < n_queries)
+
+    def sigs(t: int, probe: bool) -> list:
+        # signature bit b = sign(dot(embedding, plane_b)) — computed JVM-side
+        # from literal plane arrays (no UDF): sum over zip_with products.
+        cols = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in planes[t][b]]),
+                    lambda e, p: e.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for b in range(n_planes)
+        ]
+        bits = [
+            F.when(c >= 0, F.lit("1")).otherwise(F.lit("0")) for c in cols
+        ]
+        flips = [None] + (list(range(n_planes)) if probe else [])
+        out = []
+        for flip in flips:
+            parts = [
+                (F.when(c >= 0, F.lit("0")).otherwise(F.lit("1")) if b == flip else bit)
+                for b, (c, bit) in enumerate(zip(cols, bits))
+            ]
+            out.append(F.concat_ws("", F.lit(f"{t}:"), *parts))
+        return out
+
+    def bucketize(df: DataFrame, probe: bool) -> DataFrame:
+        # buckets, quantized vector, and norm in ONE projection over the scan
+        # (a vec_id self-join here shuffled the vector table twice; measured
+        # 6x slower at sf0.1), then one generator for the table fan-out
+        all_sigs = [s for t in range(n_tables) for s in sigs(t, probe)]
+        return df.select(
+            "vec_id",
+            F.explode(F.array(*all_sigs)).alias("bucket"),
+            quantized(F.col("embedding")).alias("q"),
+        ).withColumn(
+            "nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double"))
+        )
+
+    bucketed = bucketize(embeddings, probe=False)
+    queries = bucketize(
+        embeddings.filter(F.col("vec_id") < n_queries), probe=multiprobe
+    )
     score = (
         int_dot(F.col("a.q"), F.col("b.q")).cast("double")
         / (F.col("a.nrm") * F.col("b.nrm"))
@@ -332,9 +366,43 @@ def ann_lsh_topk(
             score.alias("cosine"),
         )
     )
+    if n_tables > 1 or multiprobe:
+        # a pair colliding in several tables/probes scores identically each
+        # time — collapse before ranking so duplicates can't occupy top-k
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact baseline.
+
+    Both inputs carry (query_id, neighbor_id); output is one row per exact
+    query: (query_id, n_hits, recall) with recall = |approx ∩ exact| / k as
+    an exact small-integer division (deterministic double). Queries the
+    approx method missed entirely still appear, with recall 0.0 — silent
+    drops would overstate quality.
+    """
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        e.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k))
+            .cast("double")
+            .alias("recall"),
+        )
     )

@@ -48,6 +48,23 @@ KIND_TOKEN = 1
 KIND_LEN_MISMATCH = 2
 KIND_NULL_TOKENS = 3
 
+# Driver-OOM guard for the reference-profile token domain: the collected
+# token-id set is bounded by the reference vocabulary (~10^5-10^6 for real
+# tokenizers). A pathological profile above the cap falls back to hashing
+# token ids into a bounded bucket domain (Knuth multiplicative mod 2^32),
+# applied identically to the corpus side (numpy, below) and the profile side
+# (drift rule), so frequency comparison stays consistent — at the cost of
+# hash-collision blur instead of a driver OOM.
+DEFAULT_MAX_REF_TOKENS = 1_000_000
+DEFAULT_HASH_BUCKETS = 1 << 16
+HASH_MULT = 2654435761  # Knuth's 2^32 / phi
+
+
+def hash_token_bucket(tokens: np.ndarray, mod: int) -> np.ndarray:
+    """Deterministic token-id -> bucket map, identical to the SQL form
+    ``pmod(pmod(t * 2654435761, 4294967296), mod)`` for non-negative t."""
+    return ((tokens.astype(np.int64) * HASH_MULT) & 0xFFFFFFFF) % mod
+
 PARTIAL_SCHEMA = "part_id int, source string, kind int, key long, cnt long"
 
 _NTOK_BITS = np.int64(33)
@@ -58,19 +75,38 @@ class SharedTokenStats:
     """Lazily-built, optionally persisted partials DataFrame."""
 
     def __init__(self, df: DataFrame, lo: int, hi: int, contiguous: bool,
-                 ref_tokens: list[int] | None = None):
+                 ref_tokens: list[int] | None = None,
+                 hash_mod: int | None = None):
         self.lo = int(lo)
         self.hi = int(hi)
         self.contiguous = bool(contiguous)
         self.ref_tokens = ref_tokens
+        self.hash_mod = hash_mod
         self._partials = _build_partials(df, self.lo, self.hi, self.contiguous,
-                                         ref_tokens)
+                                         ref_tokens, hash_mod)
 
     @classmethod
-    def from_profiles(cls, df: DataFrame, profiles: DataFrame) -> "SharedTokenStats":
-        ref_tokens = sorted(
-            {t for r in profiles.select("token_freq").collect() for t in r[0]}
-        )
+    def from_profiles(
+        cls,
+        df: DataFrame,
+        profiles: DataFrame,
+        max_ref_tokens: int = DEFAULT_MAX_REF_TOKENS,
+        hash_buckets: int = DEFAULT_HASH_BUCKETS,
+    ) -> "SharedTokenStats":
+        # Count the profile token domain SPARK-SIDE before collecting it: the
+        # collect is bounded by the reference vocabulary only if the profile
+        # is sane. Over the cap, nothing unbounded ever reaches the driver —
+        # the domain becomes [0, hash_buckets) and corpus tokens are hashed
+        # into it (the drift rule hashes the profile side identically via
+        # `self.hash_mod`).
+        keys = profiles.select(
+            F.explode(F.map_keys("token_freq")).alias("t")
+        ).distinct()
+        n_ref = keys.count()
+        if n_ref > max_ref_tokens:
+            return cls(df, 0, hash_buckets - 1, True, None,
+                       hash_mod=hash_buckets)
+        ref_tokens = sorted(r["t"] for r in keys.collect())
         lo, hi = ref_tokens[0], ref_tokens[-1]
         contiguous = ref_tokens == list(range(lo, hi + 1))
         return cls(df, lo, hi, contiguous, None if contiguous else ref_tokens)
@@ -106,6 +142,7 @@ def _build_partials(
     hi: int,
     contiguous: bool,
     ref_tokens: list[int] | None,
+    hash_mod: int | None = None,
 ) -> DataFrame:
     span = hi - lo + 1
     # Domain filtering happens in numpy, not the JVM: a codegen'd F.filter
@@ -199,6 +236,8 @@ def _build_partials(
                 g = np.repeat(grp[row:row_end], lengths[row:row_end])
                 row = row_end
                 fl = flat[start:end].astype(np.int64)
+                if hash_mod is not None:
+                    fl = hash_token_bucket(fl, hash_mod)
                 rel = fl - lo
                 oob = (rel < 0) | (rel >= span)
                 if ref_np is not None:

@@ -454,6 +454,78 @@ def test_no_unbounded_global_window_in_any_registry_plan(spark):
     assert not bad, f"unbounded global window planned in: {bad}"
 
 
+def test_sketch_quartiles_close_to_exact(spark):
+    """The scale-default equi-depth quartiles (approx_percentile boundaries +
+    broadcast classify — no per-group full sort) must put within 5% of each
+    language's mass in every bucket vs the exact ntile form, and its plan
+    must contain no Window at all."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    sketch = entry.queries()["chars_quartiles_by_lang_sketch"](spark, sf)
+    assert "Window" not in sketch._jdf.queryExecution().executedPlan().toString()
+    rows = sketch.collect()
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["lang"]] = totals.get(r["lang"], 0) + r["n"]
+    for r in rows:
+        share = r["n"] / totals[r["lang"]]
+        assert abs(share - 0.25) < 0.05, (
+            f"{r['lang']} q{r['quartile']}: share {share:.3f}"
+        )
+    # exact and sketch agree on per-lang totals
+    exact = entry.queries()["chars_quartiles_by_lang"](spark, sf).collect()
+    exact_totals: dict[str, int] = {}
+    for r in exact:
+        exact_totals[r["lang"]] = exact_totals.get(r["lang"], 0) + r["n"]
+    assert totals == exact_totals
+
+
+def test_sketch_event_quantiles_close_to_exact(spark):
+    """approx_percentile (bounded mergeable sketch) vs exact percentile():
+    per-group quantile error within 1% of the group's value range; no
+    buffering aggregate in the plan."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["event_type"]: (r["q25_cents"], r["q50_cents"], r["q75_cents"])
+        for r in entry.queries()["event_value_quantiles"](spark, sf).collect()
+    }
+    sketch = {
+        r["event_type"]: (r["q25_cents"], r["q50_cents"], r["q75_cents"])
+        for r in entry.queries()["event_value_quantiles_sketch"](
+            spark, sf
+        ).collect()
+    }
+    assert set(exact) == set(sketch)
+    for et, ev in exact.items():
+        spread = max(1.0, ev[2] - ev[0])
+        for a, b in zip(ev, sketch[et]):
+            assert abs(a - b) <= 0.01 * spread + 1.0, (et, ev, sketch[et])
+
+
+def test_ann_recall_floor(spark):
+    """ANN quality gate: mean recall@5 of the registry's LSH and IVF paths
+    against the exact brute-force baseline must clear a floor (measured
+    0.86 / 0.56 at sf0.001 with the shipped parameters — multi-table
+    multiprobe LSH; single-table 8-bit signatures scored ~0 on this
+    near-random corpus). The `ann_recall_at5` registry query keeps the same
+    numbers driver-visible each round."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["ann_recall_at5"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_method: dict[str, list[float]] = {}
+    for r in rows:
+        by_method.setdefault(r["method"], []).append(r["recall"])
+    assert set(by_method) == {"lsh", "ivf"}
+    mean = {m: sum(v) / len(v) for m, v in by_method.items()}
+    assert mean["lsh"] >= 0.7, f"lsh mean recall {mean['lsh']}"
+    assert mean["ivf"] >= 0.5, f"ivf mean recall {mean['ivf']}"
+
+
 def test_bigram_udtf_matches_jvm_path(spark):
     """The Python-UDTF lateral-TVF surface (custom 1->N fan-out beyond what
     explode expresses) produces the same bigram counts as the JVM indexed-

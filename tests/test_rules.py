@@ -225,3 +225,42 @@ def test_shared_scan_noncontiguous_vocab(spark):
         (0, "s1", 5): 2, (0, "s1", 9): 4, (0, "s1", 12): 1,
         (0, "s2", 5): 1, (0, "s2", 12): 1,
     }
+
+
+def test_oversized_profile_falls_back_to_hashed_domain(ctx_df):
+    """Driver-OOM guard: a reference profile whose token domain exceeds
+    `max_ref_tokens` must flip the shared scan into the hashed-bucket domain
+    (nothing unbounded collected driver-side), the drift rule must hash the
+    profile side identically SPARK-SIDE, and the resulting verdicts must
+    still separate clean partitions from drifted ones."""
+    from lk_data_test_spark.plans.rules import RuleContext
+    from lk_data_test_spark.plans.shared import KIND_TOKEN, SharedTokenStats
+    from lk_data_test_spark.operators import drift
+
+    ctx, df = ctx_df
+    cap, buckets = 10, 1 << 16  # force the fallback with the normal profile
+    shared = SharedTokenStats.from_profiles(
+        df, ctx.reference_profiles, max_ref_tokens=cap, hash_buckets=buckets
+    )
+    assert shared.hash_mod == buckets
+    keys = [
+        r["key"]
+        for r in shared.partials.filter(F.col("kind") == KIND_TOKEN)
+        .select("key").distinct().collect()
+    ]
+    assert keys and all(0 <= k < buckets for k in keys)
+
+    hashed_ctx = RuleContext(
+        spark=ctx.spark,
+        allowed_sources=ctx.allowed_sources,
+        reference_profiles=ctx.reference_profiles,
+        part_ids=ctx.part_ids,
+        shared=shared,
+        params={"drift": {"max_ref_tokens": cap, "hash_buckets": buckets}},
+    )
+    res = drift.evaluate(df, hashed_ctx)
+    verdicts = {r["part_id"]: r for r in res.verdicts.collect()}
+    assert _failing(res.verdicts) == EXPECTED["drift"]
+    assert all(
+        f"domain=hashed:{buckets}" in r["detail"] for r in verdicts.values()
+    )
