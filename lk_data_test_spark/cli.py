@@ -66,6 +66,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--force", action="store_true", help="ignore checkpoint")
     ap.add_argument(
+        "--build-profiles",
+        default=None,
+        metavar="OUT_DIR",
+        help="instead of validating, BUILD the drift reference-profile table "
+        "(per-source n_tok quantile sketch + top-K token frequencies, "
+        "operators/profiles.py) from the corpus at --data-dir and write it "
+        "as parquet to OUT_DIR; --profile-parts restricts the source "
+        "partitions (e.g. a vetted clean snapshot)",
+    )
+    ap.add_argument(
+        "--profile-parts",
+        default=None,
+        help="comma-separated part_ids to build profiles from (default: all)",
+    )
+    ap.add_argument(
         "--repeat",
         type=int,
         default=1,
@@ -125,6 +140,34 @@ def main(argv: list[str] | None = None) -> int:
         print(f"generated corpus in {time.time() - t0:.1f}s", file=sys.stderr)
     if args.generate_only:
         print(json.dumps({"generated": seq_path}))
+        return 0
+
+    if args.build_profiles:
+        from lk_data_test_spark.operators.profiles import (
+            build_reference_profiles,
+        )
+
+        table = PartitionedTable(seq_path)
+        if args.profile_parts:
+            parts = [int(p) for p in args.profile_parts.split(",")]
+            src = table.read_partitions(spark, parts)
+        else:
+            parts = table.partition_ids()
+            src = table.read(spark)
+        t0 = time.time()
+        prof = build_reference_profiles(src)
+        prof.coalesce(1).write.mode("overwrite").parquet(args.build_profiles)
+        n = spark.read.parquet(args.build_profiles).count()
+        print(
+            json.dumps(
+                {
+                    "built_profiles": args.build_profiles,
+                    "sources": n,
+                    "from_parts": parts,
+                    "elapsed_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
         return 0
 
     runner = ValidationRunner(

@@ -1082,6 +1082,35 @@ def doc_quality_scores(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# Gopher-style repetition signals (duplicate-word / duplicate-bigram
+# fractions) — the within-document counterpart of the corpus-level dedup
+# ladder; a training pipeline drops docs above a repetition threshold.
+@query(
+    "doc_repetition_scores",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') ws FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ws,
+             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) bs
+      FROM w WHERE len(ws) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+             AS word_rep_ratio,
+           CAST(len(bs) - len(list_distinct(bs)) AS DOUBLE) / len(bs)
+             AS bigram_rep_ratio
+    FROM b ORDER BY doc_id
+    """,
+)
+def doc_repetition_scores(spark, sf_dir):
+    return textstats.repetition_scores(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 @query(
     "doc_lang_id",
     f"""
@@ -2728,6 +2757,29 @@ def validation_suite_verdicts(spark, sf_dir):
         v = rule.evaluate(df, ctx).verdicts
         out = v if out is None else out.unionByName(v)
     return out.orderBy("rule_id", "part_id")
+
+
+# Engine-built drift reference profiles (operators/profiles.py): bootstrap
+# the per-source (n_tok quantile sketch, top-K token frequency) index from
+# the clean partitions of the deterministic flagship corpus — flattened to
+# hashable scalars. Rows-only (sketch quantiles aren't SQL-portable);
+# `tests/test_rules.py::test_engine_built_profiles_detect_drift` proves the
+# built profiles reproduce the analytic profiles' failing set end-to-end.
+@query("built_reference_profiles", None)
+def built_reference_profiles(spark, sf_dir):
+    from .datagen import GenConfig, sequences_df
+    from .operators.profiles import build_reference_profiles
+
+    cfg = GenConfig(n_parts=5, rows_per_part=400)
+    clean = sequences_df(spark, cfg).filter((F.col("part_id") % 5) == 0)
+    b = build_reference_profiles(clean, top_k=16)
+    return b.select(
+        "source",
+        F.element_at("n_tok_quantiles", 50).alias("q50_ntok"),
+        F.element_at("n_tok_quantiles", 99).alias("q99_ntok"),
+        F.size(F.map_keys("token_freq")).alias("n_top_tokens"),
+        F.array_min(F.map_keys("token_freq")).alias("min_top_token"),
+    ).orderBy("source")
 
 
 # ===========================================================================

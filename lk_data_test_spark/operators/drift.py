@@ -128,12 +128,11 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
         )
     merged = shared.partials.filter(F.col("kind").isin(KIND_NTOK, KIND_TOKEN))
 
-    # The quantile profile is one 99-float row per source — always tiny.
-    quantiles: dict[str, np.ndarray] = {
-        r["source"]: np.asarray(r["n_tok_quantiles"], dtype=np.float64)
-        for r in profiles.select("source", "n_tok_quantiles").collect()
-    }
     if shared.hash_mod:
+        quantiles: dict[str, np.ndarray] = {
+            r["source"]: np.asarray(r["n_tok_quantiles"], dtype=np.float64)
+            for r in profiles.select("source", "n_tok_quantiles").collect()
+        }
         # Pathological profile (token domain over the cap): the corpus side
         # counted hashed buckets, so fold the profile into the SAME bucket
         # domain SPARK-SIDE — the driver only ever sees <= sources x
@@ -158,10 +157,14 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
                 r["freq"]
             )
     else:
-        token_freq = {
-            r["source"]: dict(r["token_freq"])
-            for r in profiles.select("source", "token_freq").collect()
+        # sane profile: ONE collect of the tiny dimension serves both the
+        # quantile and frequency closures (no extra per-run driver jobs)
+        prof_rows = profiles.collect()
+        quantiles = {
+            r["source"]: np.asarray(r["n_tok_quantiles"], dtype=np.float64)
+            for r in prof_rows
         }
+        token_freq = {r["source"]: dict(r["token_freq"]) for r in prof_rows}
     ref_tokens = sorted({t for m in token_freq.values() for t in m})
 
     # ---- fused stage 2: KS + L1 per (part_id, source) ---------------------

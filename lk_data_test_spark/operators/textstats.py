@@ -112,3 +112,28 @@ def word_freq_topk(docs: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(k)
     )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    duplicate words and duplicate word-bigrams (a high ratio marks
+    boilerplate / degenerate generations a training pipeline filters out).
+    Pure JVM array expressions, exact integer ratios — one narrow projection,
+    no shuffle at all."""
+    ws = words(F.col("text"))
+    bigrams = F.transform(
+        F.slice(ws, 1, F.size(ws) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(ws, i + 2)),
+    )
+    n_words = F.size(ws)
+    n_uniq_words = F.size(F.array_distinct(ws))
+    n_bi = F.size(bigrams)
+    n_uniq_bi = F.size(F.array_distinct(bigrams))
+    return docs.filter(F.size(ws) >= 2).select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        ((n_words - n_uniq_words).cast("double") / n_words).alias(
+            "word_rep_ratio"
+        ),
+        ((n_bi - n_uniq_bi).cast("double") / n_bi).alias("bigram_rep_ratio"),
+    )

@@ -93,20 +93,22 @@ class SharedTokenStats:
         max_ref_tokens: int = DEFAULT_MAX_REF_TOKENS,
         hash_buckets: int = DEFAULT_HASH_BUCKETS,
     ) -> "SharedTokenStats":
-        # Count the profile token domain SPARK-SIDE before collecting it: the
-        # collect is bounded by the reference vocabulary only if the profile
-        # is sane. Over the cap, nothing unbounded ever reaches the driver —
-        # the domain becomes [0, hash_buckets) and corpus tokens are hashed
-        # into it (the drift rule hashes the profile side identically via
-        # `self.hash_mod`).
-        keys = profiles.select(
-            F.explode(F.map_keys("token_freq")).alias("t")
-        ).distinct()
-        n_ref = keys.count()
-        if n_ref > max_ref_tokens:
+        # Bound the profile-domain collect with a LIMIT pushed into the ONE
+        # Spark job (no separate count() job): at most cap+1 distinct keys
+        # ever reach the driver. Seeing cap+1 proves the profile is over the
+        # cap — nothing unbounded is collected; the domain becomes
+        # [0, hash_buckets) and corpus tokens are hashed into it (the drift
+        # rule hashes the profile side identically via `self.hash_mod`).
+        keys = (
+            profiles.select(F.explode(F.map_keys("token_freq")).alias("t"))
+            .distinct()
+            .limit(max_ref_tokens + 1)
+            .collect()
+        )
+        if len(keys) > max_ref_tokens:
             return cls(df, 0, hash_buckets - 1, True, None,
                        hash_mod=hash_buckets)
-        ref_tokens = sorted(r["t"] for r in keys.collect())
+        ref_tokens = sorted(r["t"] for r in keys)
         lo, hi = ref_tokens[0], ref_tokens[-1]
         contiguous = ref_tokens == list(range(lo, hi + 1))
         return cls(df, lo, hi, contiguous, None if contiguous else ref_tokens)

@@ -27,6 +27,7 @@ HEAD = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNNER = r"""
 import json, os, sys, time
 repo = sys.argv[1]
+n_timed = int(sys.argv[2])
 sys.path.insert(0, repo)
 os.chdir(repo)
 import bench
@@ -34,41 +35,62 @@ from lk_data_test_spark.session import get_spark
 spark = get_spark("ab-suite", cores="32", driver_memory="24g")
 corpus = bench.ensure_bench_corpus(spark)
 bench.run_suite(spark, corpus)            # untimed warm-up
-_, sec = bench.run_suite(spark, corpus)   # timed steady-state run
-print(json.dumps({"repo": repo, "sec": sec}))
+runs = [bench.run_suite(spark, corpus)[1] for _ in range(n_timed)]
+print(json.dumps({"repo": repo, "runs": runs}))
 """
 
+# Seconds to let the previous subprocess's JVM/python-worker teardown and OS
+# reclaim settle before timing the next side — without this the second side
+# of every pair systematically absorbs the first side's exit work (observed
+# as a ~1.8x position effect in the unsettled first experiment).
+SETTLE_SEC = 30
 
-def run_side(repo: str) -> float:
+
+def run_side(repo: str, n_timed: int = 2) -> list[float]:
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, repo],
-        capture_output=True, text=True, timeout=1800,
+        [sys.executable, "-c", RUNNER, repo, str(n_timed)],
+        capture_output=True, text=True, timeout=2400,
     )
     line = out.stdout.strip().splitlines()[-1]
-    return float(json.loads(line)["sec"])
+    runs = json.loads(line)["runs"]
+    import time
+    time.sleep(SETTLE_SEC)
+    return runs
 
 
 def main() -> int:
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     r1 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/r1ab"
+    head = sys.argv[3] if len(sys.argv) > 3 else HEAD
     pairs = []
     for i in range(n_pairs):
-        order = [r1, HEAD] if i % 2 == 0 else [HEAD, r1]
-        times = {}
+        order = [r1, head] if i % 2 == 0 else [head, r1]
+        runs = {}
         for repo in order:
-            times[repo] = run_side(repo)
-        ratio = times[HEAD] / times[r1]
-        pairs.append({"r1_sec": times[r1], "head_sec": times[HEAD],
-                      "ratio_head_over_r1": round(ratio, 3),
-                      "order": "r1-first" if order[0] == r1 else "head-first"})
+            runs[repo] = run_side(repo)
+        stat = {repo: {"median": statistics.median(r), "min": min(r)}
+                for repo, r in runs.items()}
+        pairs.append({
+            "r1_runs": runs[r1], "head_runs": runs[head],
+            "ratio_median": round(stat[head]["median"] / stat[r1]["median"], 3),
+            "ratio_min": round(stat[head]["min"] / stat[r1]["min"], 3),
+            "order": "r1-first" if order[0] == r1 else "head-first",
+        })
         print(json.dumps(pairs[-1]), flush=True)
-    ratios = [p["ratio_head_over_r1"] for p in pairs]
+    med = [p["ratio_median"] for p in pairs]
+    mn = [p["ratio_min"] for p in pairs]
     summary = {
         "n_pairs": n_pairs,
-        "ratio_median": round(statistics.median(ratios), 3),
-        "ratio_mean": round(statistics.mean(ratios), 3),
-        "ratio_min": min(ratios),
-        "ratio_max": max(ratios),
+        "paired_ratio_of_medians": {
+            "median": round(statistics.median(med), 3),
+            "spread": [min(med), max(med)],
+        },
+        # min-of-runs is the cleanest intrinsic-cost estimator under
+        # one-sided load noise (noise only ever ADDS time)
+        "paired_ratio_of_mins": {
+            "median": round(statistics.median(mn), 3),
+            "spread": [min(mn), max(mn)],
+        },
         "pairs": pairs,
     }
     print(json.dumps(summary))

@@ -377,6 +377,32 @@ def test_cli_query_mode(spark, capsys):
     assert main(["--query", "nope_not_real"]) == 2
 
 
+def test_cli_build_profiles_mode(spark, corpus_dir, tmp_path, capsys):
+    """--build-profiles writes the drift reference-profile table from the
+    chosen (vetted) partitions and prints a JSON line; the parquet round-trips
+    with the schema the drift rule consumes."""
+    import json as _json
+
+    from lk_data_test_spark.cli import main
+
+    out = str(tmp_path / "profiles")
+    rc = main(
+        [
+            "--data-dir", corpus_dir,
+            "--build-profiles", out,
+            "--profile-parts", "0,5",
+        ]
+    )
+    assert rc == 0
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["built_profiles"] == out and got["from_parts"] == [0, 5]
+    prof = spark.read.parquet(out)
+    assert [f.name for f in prof.schema.fields] == [
+        "source", "n_tok_quantiles", "token_freq"
+    ]
+    assert prof.count() == got["sources"] > 0
+
+
 def test_no_cartesian_product_in_any_registry_plan(spark):
     """Global scale guard: NO registry query may plan a CartesianProduct.
     The brute-force similarity baselines are allowed their BroadcastNestedLoop
@@ -708,3 +734,20 @@ def test_column_stats_shared_path_never_reads_tokens(spark, corpus_dir):
     )
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and all("tokens" not in ln for ln in scan)
+
+
+def test_vocab_ids_reuses_single_range_shuffle(spark):
+    """vocab_ids' two-stage rank derives local ranks AND per-partition counts
+    from the same range-partitioned exchange; correctness requires both
+    branches to observe the SAME partition boundaries, which Spark guarantees
+    by reusing the exchange (one rangepartitioning materialization, the other
+    branch reads it as a ReusedExchange / reused query stage). Pin that plan
+    property so a config/version change can't silently split the branches."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["vocab_ids"](spark, "/root/testdata/sf0.001")
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_range_exchanges = plan.count("Exchange rangepartitioning")
+    reused = ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
+    assert n_range_exchanges <= 1 or reused, plan[:4000]

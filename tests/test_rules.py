@@ -264,3 +264,31 @@ def test_oversized_profile_falls_back_to_hashed_domain(ctx_df):
     assert all(
         f"domain=hashed:{buckets}" in r["detail"] for r in verdicts.values()
     )
+
+
+def test_engine_built_profiles_detect_drift(ctx_df):
+    """Close the external-profile loop: profiles BUILT by the engine from
+    the clean partitions (operators/profiles.py) must drive the drift rule
+    to the same failing set as the analytically-generated profiles — the
+    engine can bootstrap its own reference index from a vetted snapshot."""
+    from lk_data_test_spark.operators import drift, profiles
+    from lk_data_test_spark.plans.rules import RuleContext
+
+    ctx, df = ctx_df
+    clean = df.filter((F.col("part_id") % 5) == 0)
+    built = profiles.build_reference_profiles(clean, top_k=256)
+    # same shape the drift rule consumes (datagen convention)
+    assert [f.name for f in built.schema.fields] == [
+        "source", "n_tok_quantiles", "token_freq"
+    ]
+    assert built.select(F.size("n_tok_quantiles").alias("n")).distinct(
+    ).collect()[0]["n"] == 99
+
+    built_ctx = RuleContext(
+        spark=ctx.spark,
+        allowed_sources=ctx.allowed_sources,
+        reference_profiles=built,
+        part_ids=ctx.part_ids,
+    )
+    res = drift.evaluate(df, built_ctx)
+    assert _failing(res.verdicts) == EXPECTED["drift"]
