@@ -211,6 +211,8 @@ def main(argv: list[str] | None = None) -> int:
         "elapsed_sec": round(elapsed, 2),
         "sequences_per_sec": round(res.rows_validated / elapsed, 1) if elapsed else 0,
         "run_times_sec": run_times,
+        # per-rule wall-to-verdict latencies (rules overlap; not a sum)
+        "rule_secs": res.extras.get("rule_secs", {}),
     }
     print(json.dumps(summary))
     return 0

@@ -100,10 +100,19 @@ class ValidationRunner:
 
         from pyspark import StorageLevel
 
+        import time as _time
+
+        rule_secs: dict[str, float] = {}
+
         def eval_rule(rule: Rule):
+            t0 = _time.time()
             res = rule.evaluate(df, ctx)
             viol = res.violations.persist(StorageLevel.MEMORY_AND_DISK)
-            return [r.asDict() for r in res.verdicts.collect()], viol, res.stats
+            rows = [r.asDict() for r in res.verdicts.collect()]
+            # wall time to a materialized verdict (rules run concurrently,
+            # so these overlap — they are per-rule latencies, not a sum)
+            rule_secs[rule.rule_id] = round(_time.time() - t0, 3)
+            return rows, viol, res.stats
 
         with ThreadPoolExecutor(max_workers=max(1, len(self.rules))) as ex:
             results = list(ex.map(eval_rule, self.rules))
@@ -230,7 +239,10 @@ class ValidationRunner:
                 "pass" if ok else "fail",
             )
         self.manifest.save()
-        return SuiteResult(verdict_rows, violations, pending, skipped, rows_validated)
+        return SuiteResult(
+            verdict_rows, violations, pending, skipped, rows_validated,
+            extras={"rule_secs": rule_secs},
+        )
 
 
 def _union_all(frames: list[DataFrame]) -> DataFrame:
