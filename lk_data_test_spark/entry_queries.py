@@ -2759,6 +2759,22 @@ def validation_suite_verdicts(spark, sf_dir):
     return out.orderBy("rule_id", "part_id")
 
 
+# FAISS-style product quantization (operators/similarity.py::pq_*): codebook
+# training (per-subspace L2 Lloyd's, one scan/round for all m subspaces),
+# code-table compression (m small codes per vector instead of dim floats),
+# ADC scoring via per-query literal lookup tables (m element_at lookups per
+# candidate), distributed top-R, exact re-rank of R candidates only — the
+# standard billion-vector architecture. Rows-only (iterative training isn't
+# one SQL statement); pytest pins recall@5 vs brute force, the monotone
+# training objective, and determinism.
+@query("embedding_pq_topk", None)
+def embedding_pq_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        e, k=5, n_queries=10, m=16, n_codes=16, rerank=50, n_iter=3
+    ).orderBy("query_id", "rank")
+
+
 # Engine-built drift reference profiles (operators/profiles.py): bootstrap
 # the per-source (n_tok quantile sketch, top-K token frequency) index from
 # the clean partitions of the deterministic flagship corpus — flattened to

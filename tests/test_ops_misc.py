@@ -416,6 +416,8 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
     eager = {
         "embedding_kmeans_clusters",
         "embedding_ann_ivf_trained",
+        "embedding_pq_topk",
+        "built_reference_profiles",
         "dup_clusters",
         "validation_suite_verdicts",
     }
@@ -446,6 +448,8 @@ def test_no_unbounded_global_window_in_any_registry_plan(spark):
     eager = {
         "embedding_kmeans_clusters",
         "embedding_ann_ivf_trained",
+        "embedding_pq_topk",
+        "built_reference_profiles",
         "dup_clusters",
         "validation_suite_verdicts",
     }
@@ -751,3 +755,39 @@ def test_vocab_ids_reuses_single_range_shuffle(spark):
     n_range_exchanges = plan.count("Exchange rangepartitioning")
     reused = ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
     assert n_range_exchanges <= 1 or reused, plan[:4000]
+
+
+def test_pq_train_encode_topk(spark):
+    """Product quantization: training error is monotone non-increasing and
+    deterministic; codes are within [0, k); ADC + exact re-rank reaches
+    recall@5 >= 0.8 vs brute force (re-ranked cosines are exact, so any
+    overlap pair carries the identical score)."""
+    from lk_data_test_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books, hist = similarity.pq_train(emb, m=16, k=16, n_iter=3)
+    assert books.shape == (16, 16, 4)
+    assert len(hist) == 3
+    for prev, cur in zip(hist, hist[1:]):
+        assert cur <= prev + 1e-9, f"quantization error regressed: {hist}"
+    books2, hist2 = similarity.pq_train(emb, m=16, k=16, n_iter=3)
+    assert hist == hist2 and np.array_equal(books, books2)
+
+    codes = similarity.pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    assert all(len(r["codes"]) == 16 for r in codes)
+
+    bf = similarity.brute_force_topk(emb, k=5, n_queries=10).collect()
+    pq = similarity.pq_topk(
+        emb, k=5, n_queries=10, m=16, n_codes=16, rerank=50, n_iter=3
+    ).collect()
+    bf_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf}
+    hits = 0
+    for r in pq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_cos:
+            assert r["cosine"] == bf_cos[key]  # re-rank is exact
+            hits += 1
+    recall = hits / len(bf)
+    assert recall >= 0.8, f"pq recall@5 = {recall:.2f}"
