@@ -9,6 +9,7 @@ per-bucket equi-joins.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -306,43 +307,41 @@ def ann_lsh_topk(
     planes = lsh_hyperplanes(dim, n_planes * n_tables).reshape(
         n_tables, n_planes, dim
     )
+    # ALL n_tables*n_planes signature bits in ONE Arrow-batched matmul
+    # (batch x dim) @ (dim x T*B): a 48-fold literal-array expression tree
+    # here measured 11.2s at sf0.1 vs ~2s vectorized — the same
+    # JVM-expression-tree-vs-numpy trade plans/shared.py documents. Buckets
+    # are INTEGERS table*2^B + sig (no string assembly); multiprobe flips are
+    # XORs of the packed signature.
+    flat_planes = planes.reshape(n_tables * n_planes, dim)
+    pows = (2 ** np.arange(n_planes)).astype(np.int64)
 
-    def sigs(t: int, probe: bool) -> list:
-        # signature bit b = sign(dot(embedding, plane_b)) — computed JVM-side
-        # from literal plane arrays (no UDF): sum over zip_with products.
-        cols = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in planes[t][b]]),
-                    lambda e, p: e.cast("double") * p,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for b in range(n_planes)
-        ]
-        bits = [
-            F.when(c >= 0, F.lit("1")).otherwise(F.lit("0")) for c in cols
-        ]
-        flips = [None] + (list(range(n_planes)) if probe else [])
-        out = []
-        for flip in flips:
-            parts = [
-                (F.when(c >= 0, F.lit("0")).otherwise(F.lit("1")) if b == flip else bit)
-                for b, (c, bit) in enumerate(zip(cols, bits))
-            ]
-            out.append(F.concat_ws("", F.lit(f"{t}:"), *parts))
-        return out
+    def bucket_arrays(probe: bool):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<long>")
+        def _buckets(emb: pd.Series) -> pd.Series:
+            x = np.stack(emb.to_numpy()).astype(np.float64)
+            bits = (x @ flat_planes.T >= 0).reshape(-1, n_tables, n_planes)
+            sig = bits @ pows  # (n, T) packed signatures
+            base = (np.arange(n_tables, dtype=np.int64) << (n_planes + 1))
+            out = sig + base  # table id in high bits
+            if probe:
+                flips = np.stack(
+                    [out] + [out ^ (1 << b) for b in range(n_planes)], axis=2
+                ).reshape(len(x), -1)
+                return pd.Series(list(flips))
+            return pd.Series(list(out))
+
+        return _buckets
 
     def bucketize(df: DataFrame, probe: bool) -> DataFrame:
         # buckets, quantized vector, and norm in ONE projection over the scan
         # (a vec_id self-join here shuffled the vector table twice; measured
         # 6x slower at sf0.1), then one generator for the table fan-out
-        all_sigs = [s for t in range(n_tables) for s in sigs(t, probe)]
         return df.select(
             "vec_id",
-            F.explode(F.array(*all_sigs)).alias("bucket"),
+            F.explode(bucket_arrays(probe)(F.col("embedding"))).alias("bucket"),
             quantized(F.col("embedding")).alias("q"),
         ).withColumn(
             "nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double"))
@@ -421,27 +420,43 @@ def _sub_slices(col, m: int, subdim: int) -> list:
     return [F.slice(col, s * subdim + 1, subdim) for s in range(m)]
 
 
-def _l2_argmin_expr(sub_col, codebook: np.ndarray):
-    """(dist, code) struct: argmin over a subspace's literal codebook via
-    lexicographic array_min (ties -> lowest code)."""
-    structs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub_col,
-                        F.array(*[F.lit(float(x)) for x in codebook[c]]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(c).alias("code"),
-            )
-            for c in range(len(codebook))
-        ]
-    )
-    return F.array_min(structs)
+def _pq_codes_udf(books: np.ndarray, with_dists: bool):
+    """Arrow-batched assignment of every subspace's nearest code in ONE
+    numpy pass per batch: (batch, m, subdim) against (m, k, subdim) via a
+    broadcasted squared-distance einsum. An m*k literal-expression argmin
+    tree for the same math measured ~10x slower at sf0.1 (the same
+    JVM-expression-tree-vs-numpy trade plans/shared.py documents). Ties
+    break to the lowest code (np.argmin takes the first minimum — same rule
+    as the lexicographic struct argmin it replaces)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, subdim = books.shape
+
+    def dists_all(u: pd.Series) -> np.ndarray:
+        x = np.stack(u.to_numpy()).astype(np.float64).reshape(-1, m, subdim)
+        # (n, m, k) squared distances without materializing the full diff:
+        # ||x||^2 - 2 x.c + ||c||^2 per subspace
+        xx = np.einsum("nmd,nmd->nm", x, x)[:, :, None]
+        xc = np.einsum("nmd,mkd->nmk", x, books)
+        cc = np.einsum("mkd,mkd->mk", books, books)[None, :, :]
+        return xx - 2.0 * xc + cc
+
+    if with_dists:
+
+        @pandas_udf("struct<codes:array<int>, dists:array<double>>")
+        def _codes_dists(u: pd.Series) -> pd.DataFrame:
+            d = dists_all(u)
+            codes = d.argmin(axis=2).astype(np.int32)
+            dmin = np.take_along_axis(d, codes[:, :, None], axis=2)[:, :, 0]
+            return pd.DataFrame({"codes": list(codes), "dists": list(dmin)})
+
+        return _codes_dists
+
+    @pandas_udf("array<int>")
+    def _codes(u: pd.Series) -> pd.Series:
+        return pd.Series(list(dists_all(u).argmin(axis=2).astype(np.int32)))
+
+    return _codes
 
 
 def pq_train(
@@ -467,22 +482,26 @@ def pq_train(
     try:
         for _ in range(n_iter):
             subs = _sub_slices(F.col("u"), m, subdim)
+            cd = _pq_codes_udf(books, with_dists=True)(F.col("u"))
             picked = F.array(
                 *[
                     F.struct(
-                        _l2_argmin_expr(subs[s], books[s]).alias("best"),
+                        F.col("cd.codes")[s].alias("code"),
+                        F.col("cd.dists")[s].alias("d"),
                         subs[s].alias("sub"),
                     )
                     for s in range(m)
                 ]
             )
-            exploded = unit.select(
-                F.posexplode(picked).alias("s", "x")
-            ).select(
-                "s",
-                F.col("x.best.code").alias("code"),
-                F.col("x.best.d").alias("d"),
-                F.col("x.sub").alias("sub"),
+            exploded = (
+                unit.withColumn("cd", cd)
+                .select(F.posexplode(picked).alias("s", "x"))
+                .select(
+                    "s",
+                    F.col("x.code").alias("code"),
+                    F.col("x.d").alias("d"),
+                    F.col("x.sub").alias("sub"),
+                )
             )
             rows = (
                 exploded.groupBy("s", "code")
@@ -508,11 +527,7 @@ def pq_train(
 def pq_encode(embeddings: DataFrame, books: np.ndarray) -> DataFrame:
     """(vec_id, codes array<int>[m]) — the compressed table (m bytes/vector
     at int8 storage; int codes here)."""
-    m, _, subdim = books.shape
-    subs = _sub_slices(F.col("u"), m, subdim)
-    codes = F.array(
-        *[_l2_argmin_expr(subs[s], books[s]).getField("code") for s in range(m)]
-    )
+    codes = _pq_codes_udf(books, with_dists=False)(F.col("u"))
     return _unit_vectors(embeddings).select("vec_id", codes.alias("codes"))
 
 
