@@ -2775,6 +2775,18 @@ def embedding_pq_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+# The full FAISS composition: IVF inverted lists prune the corpus to the
+# probed fraction, PQ codes make scoring within lists m lookups, exact
+# re-rank fixes the shortlist — rows-only; pytest pins recall.
+@query("embedding_ivfpq_topk", None)
+def embedding_ivfpq_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        e, k=5, n_queries=10, n_lists=8, n_probe=3, m=16, n_codes=16,
+        rerank=50, n_iter=3,
+    ).orderBy("query_id", "rank")
+
+
 # Engine-built drift reference profiles (operators/profiles.py): bootstrap
 # the per-source (n_tok quantile sketch, top-K token frequency) index from
 # the clean partitions of the deterministic flagship corpus — flattened to

@@ -531,6 +531,72 @@ def pq_encode(embeddings: DataFrame, books: np.ndarray) -> DataFrame:
     return _unit_vectors(embeddings).select("vec_id", codes.alias("codes"))
 
 
+def _query_units(embeddings: DataFrame, n_queries: int) -> dict[int, np.ndarray]:
+    return {
+        int(r["vec_id"]): np.asarray(r["u"], dtype=np.float64)
+        for r in _unit_vectors(embeddings)
+        .filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "u")
+        .collect()
+    }
+
+
+def _query_luts(
+    qunits: dict[int, np.ndarray], books: np.ndarray
+) -> dict[int, np.ndarray]:
+    """lut[q][s][c] = dot(q_sub_s, books[s][c]) — ADC lookup tables, built
+    driver-side from the tiny codebooks (m*k doubles per query)."""
+    m, _, subdim = books.shape
+    return {
+        q: np.einsum("skd,sd->sk", books, u.reshape(m, subdim))
+        for q, u in qunits.items()
+    }
+
+
+def _adc_expr(lut: np.ndarray, m: int):
+    """Approximate dot product of the row's codes against one query's LUT:
+    m element_at lookups + adds (vs dim multiplies for the exact score)."""
+    per_sub = [
+        F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[s]]),
+            F.col("codes")[s] + 1,
+        )
+        for s in range(m)
+    ]
+    out = per_sub[0]
+    for e in per_sub[1:]:
+        out = out + e
+    return out
+
+
+def _exact_rerank(
+    embeddings: DataFrame, cands: DataFrame, n_queries: int, k: int
+) -> DataFrame:
+    """EXACT integer-quantized cosine over only the candidate pairs (never
+    the full corpus), then final top-k."""
+    q = _quantized_with_norm(embeddings)
+    queries = q.filter(F.col("vec_id") < n_queries)
+    score = (
+        int_dot(F.col("a.q"), F.col("b.q")).cast("double")
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    exact = (
+        F.broadcast(cands)
+        .join(F.broadcast(queries).alias("a"),
+              F.col("query_id") == F.col("a.vec_id"))
+        .join(q.alias("b"), F.col("neighbor_id") == F.col("b.vec_id"))
+        .select("query_id", "neighbor_id", score.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -550,47 +616,19 @@ def pq_topk(
     (query_id, neighbor_id, cosine, rank) with exact cosines."""
     if books is None:
         books, _ = pq_train(embeddings, m=m, k=n_codes, n_iter=n_iter, dim=dim)
-    subdim = books.shape[2]
     codes_df = pq_encode(embeddings, books)
-
-    # per-query LUTs: lut[q][s][c] = dot(q_sub_s, books[s][c])
-    unit = _unit_vectors(embeddings)
-    qrows = (
-        unit.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "u")
-        .collect()
-    )
-    luts = {
-        int(r["vec_id"]): np.einsum(
-            "skd,sd->sk",
-            books,
-            np.asarray(r["u"], dtype=np.float64).reshape(books.shape[0], subdim),
-        )
-        for r in qrows
-    }
+    luts = _query_luts(_query_units(embeddings, n_queries), books)
 
     # ONE scan of the code table scores every query: explode a literal-LUT
     # struct array -> (query_id, approx) rows, m lookups each
-    def adc(lut: np.ndarray):
-        per_sub = [
-            F.element_at(
-                F.array(*[F.lit(float(x)) for x in lut[s]]),
-                F.col("codes")[s] + 1,
-            )
-            for s in range(books.shape[0])
-        ]
-        out = per_sub[0]
-        for e in per_sub[1:]:
-            out = out + e
-        return out
-
     scored = codes_df.select(
         F.col("vec_id").alias("neighbor_id"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(q).alias("query_id"), adc(lut).alias("approx")
+                        F.lit(q).alias("query_id"),
+                        _adc_expr(lut, books.shape[0]).alias("approx"),
                     )
                     for q, lut in sorted(luts.items())
                 ]
@@ -606,26 +644,74 @@ def pq_topk(
         .filter(F.col("crank") <= rerank)
         .select("query_id", "neighbor_id")
     )
+    return _exact_rerank(embeddings, cands, n_queries, k)
 
-    # exact re-rank: only n_queries x rerank rows touch the exact vectors
-    q = _quantized_with_norm(embeddings)
-    queries = q.filter(F.col("vec_id") < n_queries)
-    score = (
-        int_dot(F.col("a.q"), F.col("b.q")).cast("double")
-        / (F.col("a.nrm") * F.col("b.nrm"))
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    n_iter: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """FAISS-style IVF+PQ composition: a trained coarse quantizer partitions
+    vectors into inverted lists; each query probes its ``n_probe`` best
+    lists; ONLY the probed lists' rows are ADC-scored from the code table
+    (m lookups each); the top-``rerank`` shortlist is re-ranked with exact
+    cosines. At 10^12 vectors this is the standard architecture: the probe
+    join touches n_probe/n_lists of the corpus, the scored payload is m
+    bytes per row, and the exact path reads n_queries x rerank vectors.
+    This variant encodes raw unit vectors (IVF for pruning, PQ for cheap
+    scoring); residual encoding is the standard refinement on top."""
+    cents, _ = kmeans_fit(embeddings, n_clusters=n_lists, n_iter=2, dim=dim)
+    books, _ = pq_train(embeddings, m=m, k=n_codes, n_iter=n_iter, dim=dim)
+    table = pq_encode(embeddings, books).join(
+        kmeans_assign(embeddings, cents).select("vec_id", "cluster"), "vec_id"
     )
-    exact = (
-        F.broadcast(cands)
-        .join(F.broadcast(queries).alias("a"),
-              F.col("query_id") == F.col("a.vec_id"))
-        .join(q.alias("b"), F.col("neighbor_id") == F.col("b.vec_id"))
-        .select("query_id", "neighbor_id", score.alias("cosine"))
+    qunits = _query_units(embeddings, n_queries)
+    luts = _query_luts(qunits, books)
+    # probe selection driver-side: the coarse-centroid scores per query are
+    # n_lists dots of known tiny arrays
+    probe_rows = [
+        (q, int(c))
+        for q, u in sorted(qunits.items())
+        for c in np.argsort(-(cents @ u))[:n_probe]
+    ]
+    probes = F.broadcast(
+        table.sparkSession.createDataFrame(
+            probe_rows, "query_id long, cluster int"
+        )
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+    # per-row ADC against the row's own query: a when-chain over the
+    # n_queries LUTs (each branch = m lookups; only one branch evaluates)
+    approx = None
+    for q, lut in sorted(luts.items()):
+        e = _adc_expr(lut, books.shape[0])
+        approx = (
+            F.when(F.col("query_id") == q, e)
+            if approx is None
+            else approx.when(F.col("query_id") == q, e)
+        )
+    scored = (
+        probes.join(table, "cluster")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            approx.alias("approx"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
     )
+    cands = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(embeddings, cands, n_queries, k)

@@ -417,6 +417,7 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
         "embedding_kmeans_clusters",
         "embedding_ann_ivf_trained",
         "embedding_pq_topk",
+        "embedding_ivfpq_topk",
         "built_reference_profiles",
         "dup_clusters",
         "validation_suite_verdicts",
@@ -449,6 +450,7 @@ def test_no_unbounded_global_window_in_any_registry_plan(spark):
         "embedding_kmeans_clusters",
         "embedding_ann_ivf_trained",
         "embedding_pq_topk",
+        "embedding_ivfpq_topk",
         "built_reference_profiles",
         "dup_clusters",
         "validation_suite_verdicts",
@@ -791,3 +793,28 @@ def test_pq_train_encode_topk(spark):
             hits += 1
     recall = hits / len(bf)
     assert recall >= 0.8, f"pq recall@5 = {recall:.2f}"
+
+
+def test_ivfpq_recall(spark):
+    """IVF+PQ composition: probing 3 of 8 trained lists with ADC scoring and
+    exact re-rank keeps recall@5 healthy, and any pair shared with brute
+    force carries the identical exact cosine."""
+    from lk_data_test_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = similarity.brute_force_topk(emb, k=5, n_queries=10).collect()
+    got = similarity.ivfpq_topk(
+        emb, k=5, n_queries=10, n_lists=8, n_probe=3, m=16, n_codes=16,
+        rerank=50, n_iter=3,
+    ).collect()
+    bf_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf}
+    hits = 0
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_cos:
+            assert r["cosine"] == bf_cos[key]
+            hits += 1
+    recall = hits / len(bf)
+    # IVF pruning (3/8 lists) caps recall below plain PQ by design; the
+    # 100 TB trade is scanning 37% of codes instead of 100%
+    assert recall >= 0.6, f"ivfpq recall@5 = {recall:.2f}"
