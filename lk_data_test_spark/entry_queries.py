@@ -2759,6 +2759,70 @@ def validation_suite_verdicts(spark, sf_dir):
     return out.orderBy("rule_id", "part_id")
 
 
+# End-to-end training-data preparation as ONE composed declarative plan —
+# the statement query for "a user can run their whole prep pipeline here":
+# exact dedup (keep lowest doc_id per canonical fingerprint) -> quality
+# filter (length floor + Gopher repetition ceiling) -> deterministic hash
+# split (train slice only) -> fixed-stride word chunking into training
+# examples. Every stage is the registry operator it reuses
+# (exact_dup_docs / doc_repetition_scores / doc_split_shards /
+# doc_word_windows); composed they stay one Catalyst plan: the dedup
+# aggregate is the only wide stage, everything after is narrow.
+@query(
+    "training_pipeline_sample",
+    """
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    docs AS (
+      SELECT d.doc_id, string_split(trim(d.text), ' ') AS ws
+      FROM documents d JOIN keep USING (doc_id)
+    ),
+    q AS (
+      SELECT doc_id, ws FROM docs
+      WHERE len(ws) >= 20
+        AND CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) <= 0.6
+    ),
+    tr AS (
+      SELECT doc_id, ws FROM q
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 100 AS INT) < 80
+    ),
+    idx AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM tr)
+    SELECT doc_id, CAST((i - 1) / 10 AS INT) AS window_idx,
+           array_to_string(ws[i:least(i + 9, len(ws))], ' ') AS chunk
+    FROM idx WHERE (i - 1) % 10 = 0
+    ORDER BY doc_id, window_idx
+    """,
+)
+def training_pipeline_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    ws = F.split(F.trim(F.col("text")), " ")
+    docs = d.join(keep, "doc_id").select("doc_id", ws.alias("ws"))
+    rep = (F.size("ws") - F.size(F.array_distinct("ws"))).cast("double") / F.size("ws")
+    q = docs.filter((F.size("ws") >= 20) & (rep <= 0.6))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    ).cast("int")
+    tr = q.filter(bucket < 80)
+    words = F.col("ws")
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((F.size(words) - F.lit(1)) / F.lit(10)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        starts, lambda kk: F.concat_ws(" ", F.slice(words, kk * 10 + 1, F.lit(10)))
+    )
+    return tr.select(
+        "doc_id", F.posexplode(chunks).alias("window_idx", "chunk")
+    ).orderBy("doc_id", "window_idx")
+
+
 # FAISS-style product quantization (operators/similarity.py::pq_*): codebook
 # training (per-subspace L2 Lloyd's, one scan/round for all m subspaces),
 # code-table compression (m small codes per vector instead of dim floats),

@@ -99,21 +99,30 @@ def _lit_dot(col, vec: np.ndarray):
 
 
 def _assign_expr(cents: np.ndarray):
-    """(best_score, best_cluster) struct: argmax over literal centroids via
-    lexicographic array_max of (score, -idx) structs (ties -> lowest idx)."""
-    structs = F.array(
-        *[
-            F.struct(
-                _lit_dot(F.col("u"), cents[c]).alias("s"),
-                F.lit(-c).alias("negc"),
-            )
-            for c in range(len(cents))
-        ]
-    )
-    best = F.array_max(structs)
-    return best.getField("s").alias("score"), (-best.getField("negc")).alias(
+    """(best_score, best_cluster) columns: argmax over the centroids in ONE
+    Arrow-batched matmul per batch (ties -> lowest idx, np.argmax's rule —
+    matching the lexicographic struct argmax this replaces; the literal-fold
+    JVM tree cost ~2.8s/round on 2000 vectors, overhead-bound)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = cents.astype(np.float64)
+
+    @pandas_udf("struct<score:double, cluster:int>")
+    def _best(u: pd.Series) -> pd.DataFrame:
+        x = np.stack(u.to_numpy()).astype(np.float64)
+        s = x @ c.T
+        cl = s.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "score": np.take_along_axis(s, cl[:, None], axis=1)[:, 0],
+                "cluster": cl.astype(np.int32),
+            }
+        )
+
+    best = _best(F.col("u"))
+    return best.getField("score").alias("score"), best.getField(
         "cluster"
-    )
+    ).alias("cluster")
 
 
 def kmeans_fit(
