@@ -84,20 +84,6 @@ def _unit_vectors(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _lit_dot(col, vec: np.ndarray):
-    """Dot of an array<double> column with a driver-side literal vector —
-    a whole-stage-codegen'd fold, the same pattern as the IVF/LSH planes."""
-    return F.aggregate(
-        F.zip_with(
-            col,
-            F.array(*[F.lit(float(x)) for x in vec]),
-            lambda e, p: e * p,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _assign_expr(cents: np.ndarray):
     """(best_score, best_cluster) columns: argmax over the centroids in ONE
     Arrow-batched matmul per batch (ties -> lowest idx, np.argmax's rule —
@@ -140,9 +126,9 @@ def kmeans_fit(
     unit-normalized vectors + ONE partial-aggregated shuffle of at most
     ``n_clusters`` rows of (dim sums, count, score sum) per task — the
     collect is k x dim doubles (tiny, independent of corpus size), never
-    vectors. Assignment is JVM-side argmax over literal centroid arrays
-    (no UDF, no broadcast join), so at 100 TB each round is a map-only
-    pass + a k-row reduce.
+    vectors. Assignment is one Arrow-batched matmul per batch
+    (``_assign_expr``; no broadcast join, no per-row Python), so at 100 TB
+    each round is a map-only pass + a k-row reduce.
 
     Spherical Lloyd's on unit vectors with normalized-mean updates is
     monotone in the objective sum(max_c cos(x, c)) — asserted by pytest.
