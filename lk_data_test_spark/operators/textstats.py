@@ -137,3 +137,37 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         ),
         ((n_bi - n_uniq_bi).cast("double") / n_bi).alias("bigram_rep_ratio"),
     )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub: replace email addresses and phone-shaped numbers with
+    typed placeholders, and count what was removed — the redaction pass a
+    training-data pipeline runs before anything else sees the text.
+
+    The reference's analog is its normalize-before-use discipline
+    (``/root/reference/curation/check_fackel_references.py:47-49``:
+    lower+normalize every string before comparing); here the normalization
+    is destructive by design. Pure JVM regexp expressions (both patterns
+    are RE2-safe so a DuckDB oracle evaluates them identically): one
+    projection, no shuffle, trivially scale-free — at 100 TB this is a
+    map-only pass that pipelines into whatever runs next.
+
+    Output: (doc_id, n_emails, n_phones, clean_text).
+    """
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+    )

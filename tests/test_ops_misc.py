@@ -418,6 +418,7 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
         "embedding_ann_ivf_trained",
         "embedding_pq_topk",
         "embedding_ivfpq_topk",
+        "ann_recall_at5",
         "built_reference_profiles",
         "dup_clusters",
         "validation_suite_verdicts",
@@ -451,6 +452,7 @@ def test_no_unbounded_global_window_in_any_registry_plan(spark):
         "embedding_ann_ivf_trained",
         "embedding_pq_topk",
         "embedding_ivfpq_topk",
+        "ann_recall_at5",
         "built_reference_profiles",
         "dup_clusters",
         "validation_suite_verdicts",
@@ -538,12 +540,12 @@ def test_sketch_event_quantiles_close_to_exact(spark):
 
 
 def test_ann_recall_floor(spark):
-    """ANN quality gate: mean recall@5 of the registry's LSH and IVF paths
-    against the exact brute-force baseline must clear a floor (measured
-    0.86 / 0.56 at sf0.001 with the shipped parameters — multi-table
-    multiprobe LSH; single-table 8-bit signatures scored ~0 on this
-    near-random corpus). The `ann_recall_at5` registry query keeps the same
-    numbers driver-visible each round."""
+    """ANN quality gate: mean recall@5 of EVERY registry ANN path against
+    the exact brute-force baseline must clear its per-method floor
+    (measured at sf0.001 with the shipped parameters: lsh 0.86, ivf 0.56,
+    ivf_trained 0.68, pq 0.92, ivfpq 0.80 — floors sit a noise margin
+    below). The `ann_recall_at5` registry query keeps the same numbers
+    driver-visible each round, 50 rows = 5 methods x 10 queries."""
     import __spark_entry__ as entry
 
     rows = entry.queries()["ann_recall_at5"](
@@ -552,10 +554,14 @@ def test_ann_recall_floor(spark):
     by_method: dict[str, list[float]] = {}
     for r in rows:
         by_method.setdefault(r["method"], []).append(r["recall"])
-    assert set(by_method) == {"lsh", "ivf"}
-    mean = {m: sum(v) / len(v) for m, v in by_method.items()}
-    assert mean["lsh"] >= 0.7, f"lsh mean recall {mean['lsh']}"
-    assert mean["ivf"] >= 0.5, f"ivf mean recall {mean['ivf']}"
+    floors = {
+        "lsh": 0.7, "ivf": 0.5, "ivf_trained": 0.6, "pq": 0.8, "ivfpq": 0.75,
+    }
+    assert set(by_method) == set(floors)
+    assert all(len(v) == 10 for v in by_method.values())
+    for m, floor in floors.items():
+        mean = sum(by_method[m]) / len(by_method[m])
+        assert mean >= floor, f"{m} mean recall {mean:.2f} < {floor}"
 
 
 def test_bigram_udtf_matches_jvm_path(spark):
@@ -744,19 +750,23 @@ def test_column_stats_shared_path_never_reads_tokens(spark, corpus_dir):
 
 def test_vocab_ids_reuses_single_range_shuffle(spark):
     """vocab_ids' two-stage rank derives local ranks AND per-partition counts
-    from the same range-partitioned exchange; correctness requires both
-    branches to observe the SAME partition boundaries, which Spark guarantees
-    by reusing the exchange (one rangepartitioning materialization, the other
-    branch reads it as a ReusedExchange / reused query stage). Pin that plan
-    property so a config/version change can't silently split the branches."""
+    from the same range-partitioned frame; correctness requires both branches
+    to observe the SAME partition boundaries. The frame is explicitly
+    persisted before the fork (exchange reuse alone is an optimization Spark
+    may forgo under AQE/config changes), so both branches must read the ONE
+    pinned materialization: the plan shows the local-rank window + range
+    exchange only inside InMemoryRelation cache descriptions, with both
+    consumers scanning it via InMemoryTableScan."""
     import __spark_entry__ as entry
 
     df = entry.queries()["vocab_ids"](spark, "/root/testdata/sf0.001")
     df.collect()  # finalize the adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
-    n_range_exchanges = plan.count("Exchange rangepartitioning")
-    reused = ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
-    assert n_range_exchanges <= 1 or reused, plan[:4000]
+    # both the final join branch and the count/offset branch must scan the
+    # pinned cache (plan strings repeat the cached relation's tree, so the
+    # count exceeds 2 under AQE — the floor is what matters: 0 would mean
+    # the persist was dropped and boundary agreement is back to luck)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:4000]
 
 
 def test_pq_train_encode_topk(spark):
@@ -796,9 +806,14 @@ def test_pq_train_encode_topk(spark):
 
 
 def test_ivfpq_recall(spark):
-    """IVF+PQ composition: probing 3 of 8 trained lists with ADC scoring and
-    exact re-rank keeps recall@5 healthy, and any pair shared with brute
-    force carries the identical exact cosine."""
+    """IVF+PQ with residual encoding: probing 3 of 8 trained lists with ADC
+    scoring and exact re-rank keeps recall@5 healthy, any pair shared with
+    brute force carries the identical exact cosine, and — the honest bound —
+    recall lands within 0.05 of the PROBED-EXACT CEILING (exact scoring
+    restricted to the same probed lists: 0.82 measured here). The ceiling is
+    what IVF pruning alone costs; no encoding can beat it at the same
+    n_probe, so "within epsilon of ceiling" is the correct done-criterion
+    for the residual refinement (raw-vector codes sat 0.08 below it)."""
     from lk_data_test_spark.operators import similarity
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -815,6 +830,92 @@ def test_ivfpq_recall(spark):
             assert r["cosine"] == bf_cos[key]
             hits += 1
     recall = hits / len(bf)
-    # IVF pruning (3/8 lists) caps recall below plain PQ by design; the
-    # 100 TB trade is scanning 37% of codes instead of 100%
-    assert recall >= 0.6, f"ivfpq recall@5 = {recall:.2f}"
+    # residual encoding + coarse_iter=4: measured 0.80 (raw codes: 0.74)
+    assert recall >= 0.75, f"ivfpq recall@5 = {recall:.2f}"
+
+    # ceiling gap: exact scoring over the SAME trained lists at n_probe=3
+    cents, _ = similarity.kmeans_fit(emb, n_clusters=8, n_iter=4)
+    ceil_rows = similarity.ivf_topk(
+        emb, k=5, n_queries=10, n_probe=3, cents=cents
+    ).collect()
+    ceil_hits = sum(
+        1 for r in ceil_rows if (r["query_id"], r["neighbor_id"]) in bf_cos
+    )
+    ceiling = ceil_hits / len(bf)
+    assert recall >= ceiling - 0.05, (
+        f"ivfpq {recall:.2f} vs probed-exact ceiling {ceiling:.2f}"
+    )
+
+
+def test_pq_shortlist_bounded_and_partition_independent(spark):
+    """The ADC shortlist is two-stage distributed top-R: the Arrow pass
+    emits at most Q x rerank local candidates per input partition, so the
+    global rank window's input is bounded by P x Q x rerank — never
+    O(corpus) (the prior per-query Window ranked the FULL code table in one
+    task per query) — and under the (approx desc, neighbor asc) total order
+    the final candidate set is identical for any partitioning."""
+    from collections import Counter
+
+    from lk_data_test_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books, _ = S.pq_train(emb, m=16, k=16, n_iter=2)
+    luts = S._query_luts(S._query_units(emb, 5), books)
+    rerank = 7
+    results = {}
+    for n_parts in (3, 13):
+        codes = S.pq_encode(emb, books).repartition(n_parts)
+        local = S._adc_shortlist(codes, luts, rerank)
+        assert local.count() <= n_parts * len(luts) * rerank
+        results[n_parts] = sorted(
+            (r["query_id"], r["neighbor_id"])
+            for r in S._global_top(local, rerank).collect()
+        )
+        per_q = Counter(q for q, _ in results[n_parts])
+        assert all(v == rerank for v in per_q.values())
+    assert results[3] == results[13]
+
+
+def test_adc_plan_size_query_batch_independent(spark):
+    """The ADC lookup tables ride the Arrow closure as ONE (Q, m*k) matrix,
+    NOT the plan: growing the query batch 20x must leave the compiled plan
+    the same size (the prior literal-LUT explode / when-chain forms grew
+    linearly with Q and recreated the measured thousand-literal codegen
+    blowup at realistic batch sizes)."""
+    from lk_data_test_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books, _ = S.pq_train(emb, m=16, k=16, n_iter=2)
+    codes = S.pq_encode(emb, books)
+
+    def plan_len(n_q: int) -> int:
+        luts = S._query_luts(S._query_units(emb, n_q), books)
+        df = S._global_top(S._adc_shortlist(codes, luts, 50), 50)
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    small, big = plan_len(10), plan_len(200)
+    assert big <= small * 1.1, (small, big)
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    """redact_pii: emails and phone-shaped numbers are replaced with typed
+    placeholders, counts match occurrences, and PII-free text passes through
+    byte-identical with zero counts."""
+    from lk_data_test_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org and b@x.io call +1-555-0001 now"),
+            (2, "no pii here at all"),
+            (3, "double 12-345-6789 and 1-222-3333"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 1
+    assert rows[1]["clean_text"] == "mail <EMAIL> and <EMAIL> call <PHONE> now"
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[2]["clean_text"] == "no pii here at all"
+    assert rows[3]["n_phones"] == 2
+    assert "<PHONE>" in rows[3]["clean_text"]
+    assert "6789" not in rows[3]["clean_text"]

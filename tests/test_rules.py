@@ -292,3 +292,47 @@ def test_engine_built_profiles_detect_drift(ctx_df):
     )
     res = drift.evaluate(df, built_ctx)
     assert _failing(res.verdicts) == EXPECTED["drift"]
+
+
+def test_built_profile_values_match_numpy_derivation(spark):
+    """Non-circularity check for the built_reference_profiles VALUES oracle
+    (same ADVICE item as the flagship literal): re-derive every output value
+    INDEPENDENTLY of the profile builder's Spark plan — q50/q99 with numpy
+    over the collected clean corpus (percentile_approx at accuracy=10000 on
+    <=400-row groups is exact discrete percentile), the top-K vocabulary
+    with collections.Counter — and compare. A rule-logic bug present when
+    the literal was captured would break this derivation even though the
+    literal still matches the engine."""
+    from collections import Counter
+
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from lk_data_test_spark.datagen import GenConfig, sequences_df
+
+    cfg = GenConfig(n_parts=5, rows_per_part=400)
+    clean = sequences_df(spark, cfg).filter((F.col("part_id") % 5) == 0)
+    rows = clean.select("source", "n_tok", "tokens").collect()
+    got = {
+        r["source"]: (
+            r["q50_ntok"], r["q99_ntok"], r["n_top_tokens"], r["min_top_token"]
+        )
+        for r in entry.queries()["built_reference_profiles"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    by_src: dict[str, list[int]] = {}
+    toks: dict[str, Counter] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_tok"])
+        toks.setdefault(r["source"], Counter()).update(r["tokens"])
+    assert set(got) == set(by_src)
+    for src, ntoks in by_src.items():
+        a = np.sort(np.array(ntoks))
+        n = len(a)
+        q50 = float(a[max(int(np.ceil(0.50 * n)) - 1, 0)])
+        q99 = float(a[max(int(np.ceil(0.99 * n)) - 1, 0)])
+        ordered = sorted(toks[src].items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+        keys = [t for t, _ in ordered]
+        exp = (q50, q99, len(keys), min(keys))
+        assert got[src] == exp, (src, got[src], exp)
