@@ -3066,6 +3066,135 @@ def source_mixture_weights(spark, sf_dir):
     )
 
 
+# Boilerplate detection (CCNet-style): a doc's boilerplate ratio is the
+# fraction of its distinct 3-gram shingles that occur in more than tau docs
+# corpus-wide. The high-df "stop shingle" set is SMALL BY CONSTRUCTION when
+# tau scales as a corpus fraction (|set| <= occurrences/tau), so the scale
+# plan is: one shingle-count aggregation, broadcast the stop set, one
+# left-semi count per doc — the corpus-wide shingle table is never join-
+# shuffled against itself.
+@query(
+    "doc_boilerplate_ratio",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+       SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) s
+       FROM w WHERE len(ws) >= 3)),
+    boiler AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 20),
+    nb AS (SELECT doc_id, count(*) AS n_boiler FROM sh
+           WHERE s IN (SELECT s FROM boiler) GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+    SELECT tot.doc_id, CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CAST(coalesce(nb.n_boiler, 0) AS DOUBLE) / tot.n_shingles
+             AS boiler_ratio
+    FROM tot LEFT JOIN nb USING (doc_id) ORDER BY doc_id
+    """,
+)
+def doc_boilerplate_ratio(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.shingles(d, 3)
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 20)
+        .select("shingle")
+    )
+    nb = (
+        sh.join(F.broadcast(boiler), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        tot.join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            (
+                F.coalesce("n_boiler", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("boiler_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Composed corpus-health report: the one-stop per-source summary a data
+# curator reads before a training run — doc counts, exact-dup exposure
+# (via the same canonical md5 fingerprint the dedup ladder uses, counted
+# with a window over fp so no dup-set is ever collected or broadcast),
+# trainable rate under the pipeline's quality gate (>=20 words, repetition
+# <= 0.6 — same predicates as training_pipeline_sample), mean words per doc
+# (one exact integer sum, one double division), and language spread.
+@query(
+    "corpus_health_report",
+    """
+    WITH f AS (
+      SELECT doc_id, source, lang,
+             len(string_split(trim(text), ' ')) AS n_words,
+             len(string_split(trim(text), ' '))
+               - len(list_distinct(string_split(trim(text), ' '))) AS n_rep,
+             md5(lower(trim(text))) AS fp
+      FROM documents),
+    g AS (SELECT *, count(*) OVER (PARTITION BY fp) AS n_fp FROM f)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(CASE WHEN n_words >= 20
+                          AND CAST(n_rep AS DOUBLE) / n_words <= 0.6
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_trainable,
+           CAST(sum(CASE WHEN n_words >= 20
+                          AND CAST(n_rep AS DOUBLE) / n_words <= 0.6
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS trainable_rate,
+           CAST(sum(n_words) AS DOUBLE) / count(*) AS mean_words,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM g GROUP BY source ORDER BY source
+    """,
+)
+def corpus_health_report(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), " ")
+    f = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(ws).alias("n_words"),
+        (F.size(ws) - F.size(F.array_distinct(ws))).alias("n_rep"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    g = f.withColumn(
+        "n_fp", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    trainable = F.when(
+        (F.col("n_words") >= 20)
+        & (F.col("n_rep").cast("double") / F.col("n_words") <= 0.6),
+        1,
+    ).otherwise(0)
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            F.sum(trainable).alias("n_trainable"),
+            (F.sum(trainable).cast("double") / F.count(F.lit(1))).alias(
+                "trainable_rate"
+            ),
+            (F.sum("n_words").cast("double") / F.count(F.lit(1))).alias(
+                "mean_words"
+            ),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
 # ===========================================================================
 # Driver-gate ordering. The driver's CORRECTNESS gate records only the FIRST
 # 50 registry entries in iteration order, so the registry is explicitly
