@@ -3093,30 +3093,31 @@ def source_mixture_weights(spark, sf_dir):
     """,
 )
 def doc_boilerplate_ratio(spark, sf_dir):
+    # two corpus passes total: one to aggregate shingle df (the stop set),
+    # one broadcast-left-join + single per-doc aggregate for BOTH counters —
+    # not one pass per counter
     d = _t(spark, sf_dir, "documents")
     sh = dedup.shingles(d, 3)
     boiler = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > 20)
-        .select("shingle")
+        .select("shingle", F.lit(1).alias("is_boiler"))
     )
-    nb = (
-        sh.join(F.broadcast(boiler), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
-    )
-    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    flagged = sh.join(F.broadcast(boiler), "shingle", "left")
     return (
-        tot.join(nb, "doc_id", "left")
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).alias("n_boiler"),
+        )
         .select(
             "doc_id",
             "n_shingles",
-            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
-            (
-                F.coalesce("n_boiler", F.lit(0)).cast("double")
-                / F.col("n_shingles")
-            ).alias("boiler_ratio"),
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_shingles")).alias(
+                "boiler_ratio"
+            ),
         )
         .orderBy("doc_id")
     )
