@@ -1503,14 +1503,28 @@ def chars_band_join(spark, sf_dir):
     """,
 )
 def stratified_doc_sample(spark, sf_dir):
+    # Two-stage distributed top-k: a single Window.partitionBy(source) would
+    # funnel the WHOLE corpus through |sources| tasks (source is a bounded
+    # ~20-value domain — at 10^12 rows that is a single-task sort of
+    # corpus/20). Stage 1 ranks within (input partition, source) — P x
+    # |sources| well-sized groups — and keeps 5; the global window then ranks
+    # <= P x |sources| x 5 rows. The (md5, doc_id) order is a total order per
+    # source, so the two-stage result is identical to the single-window
+    # form (the oracle) for ANY partitioning.
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    key = F.md5(F.col("doc_id").cast("string"))
+    d2 = d.select("doc_id", "source", key.alias("k")).withColumn(
+        "pid", F.spark_partition_id()
     )
+    w1 = Window.partitionBy("pid", "source").orderBy("k", "doc_id")
+    local = d2.withColumn("lrk", F.row_number().over(w1)).filter(
+        F.col("lrk") <= 5
+    )
+    w2 = Window.partitionBy("source").orderBy("k", "doc_id")
     return (
-        d.select("doc_id", "source")
-        .withColumn("rk", F.row_number().over(w))
+        local.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "rk")
         .orderBy("source", "rk")
     )
 
@@ -2611,19 +2625,61 @@ def vocab_ids(spark, sf_dir):
     """,
 )
 def packed_char_bins(spark, sf_dir):
+    # Two-stage distributed prefix sum (same shape as vocab_ids' rank): a
+    # single Window.partitionBy(source) would run the whole running sum for
+    # each source in ONE task (source is a bounded ~20-value domain — a
+    # corpus/20-row single-task sort at 10^12 rows). Instead:
+    #   1. range-partition on the pack order (source, n_chars DESC, doc_id)
+    #      so each partition holds a contiguous slice of each source's
+    #      sequence; persist it so both branches see the same boundaries;
+    #   2. local running sum within (partition, source) — P x |sources|
+    #      bounded groups;
+    #   3. exclusive prefix of the per-(partition, source) totals via a
+    #      broadcast triangular join over <= P x |sources| tiny rows.
+    # prefix = offset + local running sum, identical to the single-window
+    # form (the oracle) for any boundary placement because range
+    # partitioning preserves the pack order.
     d = _t(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
+    n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        d.select("doc_id", "source", "n_chars")
+        .repartitionByRange(
+            n_ranges, F.col("source"), F.col("n_chars").desc(), F.col("doc_id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = (
+        Window.partitionBy("pid", "source")
         .orderBy(F.col("n_chars").desc(), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running_before = F.sum("n_chars").over(w) - F.col("n_chars")
-    return d.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.floor(running_before / 2000.0).cast("int").alias("bin"),
-    ).orderBy("source", "bin", "doc_id")
+    local = ranged.withColumn("lsum", F.sum("n_chars").over(w_local))
+    totals = ranged.groupBy("pid", "source").agg(
+        F.sum("n_chars").alias("tot")
+    )
+    offsets = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            (F.col("b.source") == F.col("a.source"))
+            & (F.col("b.pid") < F.col("a.pid")),
+            "left",
+        )
+        .groupBy(F.col("a.pid").alias("pid"), F.col("a.source").alias("source"))
+        .agg(F.coalesce(F.sum("b.tot"), F.lit(0)).alias("offset"))
+    )
+    running_before = F.col("offset") + F.col("lsum") - F.col("n_chars")
+    return (
+        local.join(F.broadcast(offsets), ["pid", "source"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.floor(running_before / 2000.0).cast("int").alias("bin"),
+        )
+        .orderBy("source", "bin", "doc_id")
+    )
 
 
 # Document chunking: fixed-size word windows with stride (training-sequence

@@ -919,3 +919,33 @@ def test_redact_pii_scrubs_and_counts(spark):
     assert rows[3]["n_phones"] == 2
     assert "<PHONE>" in rows[3]["clean_text"]
     assert "6789" not in rows[3]["clean_text"]
+
+
+def test_low_cardinality_windows_are_two_stage(spark):
+    """stratified_doc_sample and packed_char_bins rank/prefix-sum over
+    `source` — a bounded ~20-value domain that would funnel the corpus
+    through |sources| tasks if windowed directly. Pin their two-stage
+    shapes: every Window that partitions by source must ALSO partition by
+    the physical-partition id (stage 1) or sit above the stage-1 Filter
+    (stratified's global stage ranks <= P x |sources| x 5 rows); and
+    packed_char_bins' range-partitioned frame is persisted so the
+    local-sum branch and the totals/offset branch observe identical
+    boundaries."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    strat = entry.queries()["stratified_doc_sample"](spark, sf)
+    plan = strat._jdf.queryExecution().optimizedPlan().toString()
+    # stage-1 window carries pid in its partition spec
+    assert "pid" in plan, plan[:2000]
+    # exactly two Window nodes (stage-1 local, stage-2 global); Spark also
+    # inserts WindowGroupLimit rank-pushdown below each, which the substring
+    # "Window [" does not match
+    assert plan.count("Window [") == 2, plan[:2000]
+
+    packed = entry.queries()["packed_char_bins"](spark, sf)
+    packed.collect()
+    pplan = packed._jdf.queryExecution().executedPlan().toString()
+    assert pplan.count("InMemoryTableScan") >= 2, pplan[:2000]
+    opt = packed._jdf.queryExecution().optimizedPlan().toString()
+    assert "pid" in opt, opt[:2000]
