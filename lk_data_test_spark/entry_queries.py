@@ -1889,6 +1889,19 @@ def embedding_dup_pairs(spark, sf_dir):
     ).orderBy("vec_a", "vec_b")
 
 
+# SemDeDup-style semantic dedup (operators/dedup.py::semantic_dup_pairs):
+# trained-kmeans cell assignment, pairs scored only within a cell — the
+# corpus-scale form of embedding_dup_pairs (per-cluster equi-join replaces
+# the O(n^2) cross pair space). Rows-only (iterative clustering isn't one
+# SQL statement); pytest pins recall vs the brute-force pair set and exact
+# score agreement on shared pairs.
+@query("semantic_dedup_pairs", None)
+def semantic_dedup_pairs(spark, sf_dir):
+    return dedup.semantic_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_clusters=8
+    ).orderBy("vec_a", "vec_b")
+
+
 # ANN via hyperplane-LSH buckets: recall-reducing by design — rows-only.
 # 8 tables x 6 planes with query-side Hamming-1 multiprobe: measured 0.80
 # mean recall@5 at sf0.01 (single-table 8-plane signatures collapse to ~0 on

@@ -427,3 +427,60 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataF
         .filter(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+def semantic_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    cents=None,
+    n_probe: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster the embeddings with
+    the trained spherical-kmeans quantizer, then score pairs ONLY within a
+    shared cell — the standard way to run embedding dedup at corpus scale
+    (Abbas et al., SemDeDup): near-identical vectors land in the same cell
+    with overwhelming probability, so the O(n^2) pair space collapses to
+    sum_c |cell_c|^2 and the join is a per-cluster equi-join (AQE splits hot
+    cells) instead of a cross join. ``n_probe`` soft-assigns each vector to
+    its best cells (a pair is a candidate if ANY cell is shared) — the
+    recall knob for pairs straddling a cell boundary, at <= n_probe^2 x the
+    top-1 pair space. Scores are the same exact integer-quantized cosines
+    as ``embedding_dup_pairs`` (the brute-force baseline this is
+    recall-tested against), so any pair both emit carries an identical
+    double.
+
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine >= threshold
+    (same column/score conventions as ``embedding_dup_pairs``).
+    """
+    from ..functions.arrays import int_dot, quantized
+
+    from .similarity import kmeans_assign_topn, kmeans_fit
+
+    if cents is None:
+        cents, _ = kmeans_fit(embeddings, n_clusters=n_clusters, n_iter=3)
+    assigned = kmeans_assign_topn(embeddings, cents, n=n_probe)
+    q = (
+        embeddings.select(
+            "vec_id", quantized(F.col("embedding")).alias("q")
+        )
+        .withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
+        .join(assigned, "vec_id")
+    )
+    score = (
+        int_dot(F.col("a.q"), F.col("b.q")).cast("double")
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    return (
+        q.alias("a")
+        .join(q.alias("b"), "cluster")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score.alias("cosine"),
+        )
+        # a pair sharing several probed cells scores identically each time
+        .dropDuplicates(["vec_a", "vec_b"])
+        .filter(F.col("cosine") >= threshold)
+    )

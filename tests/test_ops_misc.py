@@ -419,6 +419,7 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
         "embedding_pq_topk",
         "embedding_ivfpq_topk",
         "ann_recall_at5",
+        "semantic_dedup_pairs",
         "built_reference_profiles",
         "dup_clusters",
         "validation_suite_verdicts",
@@ -453,6 +454,7 @@ def test_no_unbounded_global_window_in_any_registry_plan(spark):
         "embedding_pq_topk",
         "embedding_ivfpq_topk",
         "ann_recall_at5",
+        "semantic_dedup_pairs",
         "built_reference_profiles",
         "dup_clusters",
         "validation_suite_verdicts",
@@ -949,3 +951,31 @@ def test_low_cardinality_windows_are_two_stage(spark):
     assert pplan.count("InMemoryTableScan") >= 2, pplan[:2000]
     opt = packed._jdf.queryExecution().optimizedPlan().toString()
     assert "pid" in opt, opt[:2000]
+
+
+def test_semantic_dedup_recall_and_exactness(spark):
+    """SemDeDup (cluster-then-dedup): every emitted pair is a TRUE pair with
+    the identical exact cosine as the brute-force baseline (precision 1 by
+    construction — same integer-quantized scoring, candidate restriction
+    only), and top-2 soft cell assignment keeps healthy recall of the
+    brute-force pair set at the same threshold (measured 0.86 at sf0.001;
+    top-1 cells scored 0.42 — boundary pairs need the probe)."""
+    from lk_data_test_spark.operators import dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    sem = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.semantic_dup_pairs(
+            emb, threshold=0.4, n_clusters=8
+        ).collect()
+    }
+    assert brute, "baseline produced no pairs — threshold too high for corpus"
+    # precision 1: emitted subset of brute-force set, identical scores
+    for pair, cos in sem.items():
+        assert pair in brute and cos == brute[pair], pair
+    recall = len(sem) / len(brute)
+    assert recall >= 0.75, f"semantic dedup recall {recall:.2f}"
