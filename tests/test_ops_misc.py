@@ -979,3 +979,75 @@ def test_semantic_dedup_recall_and_exactness(spark):
         assert pair in brute and cos == brute[pair], pair
     recall = len(sem) / len(brute)
     assert recall >= 0.75, f"semantic dedup recall {recall:.2f}"
+
+
+def test_two_stage_forms_equal_single_window_on_skewed_corpus(spark, tmp_path):
+    """Randomized equivalence: on a corpus with a 70%-hot source (the shape
+    that motivates the rewrite), the two-stage packed_char_bins and
+    stratified_doc_sample must produce byte-identical results to the naive
+    single-window forms — for any partitioning, because both orders are
+    total (unique doc_id tie-break)."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    rnd = random.Random(7)
+    rows = [
+        (
+            i,
+            "hot" if rnd.random() < 0.7 else f"s{rnd.randint(0, 5)}",
+            rnd.randint(1, 500),
+            "x",
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long, text string"
+    )
+    sf = str(tmp_path)
+    df.repartition(7).write.parquet(f"{sf}/documents.parquet")
+
+    import __spark_entry__ as entry
+
+    # packed_char_bins vs naive running-sum window
+    got = [
+        tuple(r)
+        for r in entry.queries()["packed_char_bins"](spark, sf).collect()
+    ]
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    exp = [
+        tuple(r)
+        for r in df.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / 2000.0)
+            .cast("int")
+            .alias("bin"),
+        )
+        .orderBy("source", "bin", "doc_id")
+        .collect()
+    ]
+    assert got == exp
+
+    # stratified_doc_sample vs naive per-source rank window
+    got_s = [
+        tuple(r)
+        for r in entry.queries()["stratified_doc_sample"](spark, sf).collect()
+    ]
+    ws = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    exp_s = [
+        tuple(r)
+        for r in df.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+        .collect()
+    ]
+    assert got_s == exp_s
