@@ -224,39 +224,40 @@ def ivf_topk(
     ``cents`` takes a trained quantizer (``kmeans_fit``) in place of the
     default random one; the probe/score plan is identical either way.
     """
+    from pyspark.sql.functions import pandas_udf
+
     if cents is None:
         cents = ivf_centroids(dim, n_centroids, seed)
     else:
         n_centroids = len(cents)
 
-    def cent_scores() -> list:
-        return [
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in cents[c]]),
-                    lambda e, p: e.cast("double") * p,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in range(n_centroids)
-        ]
+    # Assignment and probe selection are ONE Arrow matmul per batch against
+    # the centroid matrix riding the closure — the same kernel pattern as
+    # kmeans/_adc_shortlist. The earlier form folded 2 x n_centroids x dim
+    # literal arrays into the plan: fine at 8 lists, and exactly the
+    # thousand-literal codegen blowup this repo has measured at 4-10x once
+    # n_centroids reaches realistic IVF sizes (10^3-10^4 lists). argmax over
+    # raw embeddings equals argmax over unit vectors (positive per-row
+    # scale). list_id/probes, quantized vector, and norm still come out of
+    # ONE projection over the scan — a vec_id self-join to attach them would
+    # shuffle the whole vector table twice (measured 2-6x slower at sf0.1).
+    c_mat = cents.astype(np.float64)
 
-    # (score, idx) structs: lexicographic max = argmax, sort desc = top lists.
-    # list_id, quantized vector, and norm all come out of ONE projection over
-    # the scan — a vec_id self-join to attach them would shuffle the whole
-    # vector table twice for no reason (measured 2-6x slower at sf0.1).
-    score_structs = F.array(
-        *[
-            F.struct(s.alias("s"), F.lit(i).alias("c"))
-            for i, s in enumerate(cent_scores())
-        ]
-    )
-    nearest = F.array_max(score_structs).getField("c")
+    @pandas_udf("int")
+    def _best_list(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        return pd.Series((x @ c_mat.T).argmax(axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def _probe_lists(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        s = x @ c_mat.T
+        top = np.argsort(-s, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
     assigned = embeddings.select(
         "vec_id",
-        nearest.alias("list_id"),
+        _best_list(F.col("embedding")).alias("list_id"),
         quantized(F.col("embedding")).alias("q"),
     ).withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
 
@@ -264,12 +265,7 @@ def ivf_topk(
         embeddings.filter(F.col("vec_id") < n_queries)
         .select(
             "vec_id",
-            F.explode(
-                F.transform(
-                    F.slice(F.reverse(F.array_sort(score_structs)), 1, n_probe),
-                    lambda st: st.getField("c"),
-                )
-            ).alias("list_id"),
+            F.explode(_probe_lists(F.col("embedding"))).alias("list_id"),
             quantized(F.col("embedding")).alias("q"),
         )
         .withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
