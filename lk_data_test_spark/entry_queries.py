@@ -3287,9 +3287,10 @@ def corpus_health_report(spark, sf_dir):
 #       contamination + tf-idf, repetition scores, stratified sampling,
 #       pivot/unpivot, the ranking-window family, correlation, the digest
 #       invariant, bigram top-k, and the (newly VALUES-oracled) profile
-#       builder.
+#       builder; date_range_extract stays gated as the sole §2.8
+#       date-family exemplar (17 never-gated ins).
 #   r5 (planned): rotate the r4 outs' remaining never-gated siblings IN
-#       (orders_by_month, urgent_orders_gapfilled, doc_chars_histogram,
+#       (session_funnel, orders_by_month, urgent_orders_gapfilled, doc_chars_histogram,
 #       event_json_export, doc_word_membership, approx_distinct_users,
 #       user_rolling_value, source_vocab_overlap, chars_quartiles pair,
 #       source_lang_map, props_variant_stats, embedding_topk/dup_pairs,
@@ -3334,8 +3335,11 @@ GATED_ORDER = [
     "doc_word_windows",           # fixed-stride chunking via posexplode
     #   (covers W1/UDTF fan-out: was posexplode_words)
     "event_sessions",             # sessionization (lag/gap windows)
-    #   (covers §2.8 date/timestamp: was date_range_extract)
-    "session_funnel",             # funnel conversion over sessions
+    "date_range_extract",         # §2.8 date family (ISO range parsing) —
+    #   kept gated: event_sessions covers timestamps but NOT the
+    #   extract_begin_end parsing family, so the exemplar stays
+    #   (session_funnel moved to the r5 rotation instead; temporal remains
+    #   double-covered by event_sessions + last_error_asof)
     "benchmark_contamination",    # shingle containment join
     #   (covers J5 exploded containment: was word_partkey_multimap)
     "tfidf_top_terms",            # tf/df scoring + per-doc ranking
