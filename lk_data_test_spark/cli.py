@@ -81,6 +81,14 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated part_ids to build profiles from (default: all)",
     )
     ap.add_argument(
+        "--incremental-stats",
+        action="store_true",
+        help="file-delta incremental column-stats validation "
+        "(plans/incremental_stats.py): partitions whose file set only GREW "
+        "scan just the added files and merge the stored mergeable stats; "
+        "unchanged partitions scan nothing; rewrites fall back to full",
+    )
+    ap.add_argument(
         "--repeat",
         type=int,
         default=1,
@@ -164,6 +172,31 @@ def main(argv: list[str] | None = None) -> int:
                     "built_profiles": args.build_profiles,
                     "sources": n,
                     "from_parts": parts,
+                    "elapsed_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        return 0
+
+    if args.incremental_stats:
+        from lk_data_test_spark.plans.incremental_stats import (
+            IncrementalStatsValidator,
+        )
+
+        v = IncrementalStatsValidator(
+            PartitionedTable(seq_path),
+            os.path.join(args.data_dir, "_manifest", "incremental_stats.json"),
+        )
+        t0 = time.time()
+        r = v.run(spark)
+        print(
+            json.dumps(
+                {
+                    "modes": {str(k): m for k, m in r["modes"].items()},
+                    "scanned_rows": r["scanned_rows"],
+                    "failed_partitions": sorted(
+                        p for p, res in r["parts"].items() if not res["passed"]
+                    ),
                     "elapsed_sec": round(time.time() - t0, 2),
                 }
             )
