@@ -1051,3 +1051,79 @@ def test_two_stage_forms_equal_single_window_on_skewed_corpus(spark, tmp_path):
         .collect()
     ]
     assert got_s == exp_s
+
+
+def test_no_low_cardinality_only_window_partitions(spark):
+    """Scale guard closing the gap the empty-partition-spec guard left: a
+    Window whose partition keys are ALL bounded-domain columns (source,
+    lang, event_type — ~5-20 values each) funnels the corpus through that
+    many tasks, the same single-task-sort pathology as a global window,
+    just sharded a few ways. Every such window must either be the GLOBAL
+    stage of a two-stage plan (a finer-keyed local Window below it bounds
+    its input at P x |domain| x k rows), sit above a Limit, or be on the
+    documented allowlist of oracle-exact forms whose scale default is a
+    separate sketch query."""
+    import __spark_entry__ as entry
+
+    eager = {
+        "embedding_kmeans_clusters",
+        "embedding_ann_ivf_trained",
+        "embedding_pq_topk",
+        "embedding_ivfpq_topk",
+        "ann_recall_at5",
+        "semantic_dedup_pairs",
+        "built_reference_profiles",
+        "dup_clusters",
+        "validation_suite_verdicts",
+    }
+    # chars_quartiles_by_lang: documented ORACLE-EXACT form; the scale
+    # default is chars_quartiles_by_lang_sketch (no window at all)
+    allow = {"chars_quartiles_by_lang"}
+    low_card = {"source", "lang", "event_type"}
+
+    def nodes(p):
+        yield p
+        for i in range(p.children().size()):
+            yield from nodes(p.children().apply(i))
+
+    def has_limit(p):
+        return any(
+            n.nodeName() in ("GlobalLimit", "LocalLimit") for n in nodes(p)
+        )
+
+    def window_keys(n):
+        return {
+            n.partitionSpec().apply(i).toString().split("#")[0]
+            for i in range(n.partitionSpec().size())
+        }
+
+    def is_second_stage(n):
+        return any(
+            m is not n
+            and m.nodeName() == "Window"
+            and not (window_keys(m) <= low_card)
+            for m in nodes(n)
+        )
+
+    bad = []
+    for name, fn in entry.queries().items():
+        if name in eager or name in allow:
+            continue
+        opt = (
+            fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+        )
+        for n in nodes(opt):
+            if n.nodeName() != "Window" or n.partitionSpec().size() == 0:
+                continue
+            keys = window_keys(n)
+            if (
+                keys
+                and keys <= low_card
+                and not has_limit(n)
+                and not is_second_stage(n)
+            ):
+                bad.append((name, sorted(keys)))
+                break
+    assert not bad, f"low-cardinality-only window partitions in: {bad}"
