@@ -453,20 +453,33 @@ def semantic_dup_pairs(
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine >= threshold
     (same column/score conventions as ``embedding_dup_pairs``).
     """
+    from pyspark.sql.functions import pandas_udf
+
     from ..functions.arrays import int_dot, quantized
 
-    from .similarity import kmeans_assign_topn, kmeans_fit
+    from .similarity import kmeans_fit
 
     if cents is None:
         cents, _ = kmeans_fit(embeddings, n_clusters=n_clusters, n_iter=3)
-    assigned = kmeans_assign_topn(embeddings, cents, n=n_probe)
-    q = (
-        embeddings.select(
-            "vec_id", quantized(F.col("embedding")).alias("q")
-        )
-        .withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
-        .join(assigned, "vec_id")
-    )
+
+    # cells, quantized vector, and norm all come out of ONE projection over
+    # the scan (a vec_id join back to a separate assignment frame would
+    # shuffle the vector table twice — the 2-6x penalty similarity.py
+    # measured); cell top-n ordering over raw embeddings equals the
+    # unit-vector ordering (positive per-row scale), one Arrow matmul/batch
+    c_mat = cents.astype(np.float64)
+
+    @pandas_udf("array<int>")
+    def _cells(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        s = x @ c_mat.T
+        return pd.Series(list(np.argsort(-s, axis=1)[:, :n_probe].astype(np.int32)))
+
+    q = embeddings.select(
+        "vec_id",
+        F.explode(_cells(F.col("embedding"))).alias("cluster"),
+        quantized(F.col("embedding")).alias("q"),
+    ).withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
     score = (
         int_dot(F.col("a.q"), F.col("b.q")).cast("double")
         / (F.col("a.nrm") * F.col("b.nrm"))

@@ -176,30 +176,6 @@ def kmeans_assign(
     return _unit_vectors(embeddings).select("vec_id", cluster, score)
 
 
-def kmeans_assign_topn(
-    embeddings: DataFrame, cents: np.ndarray, n: int = 2
-) -> DataFrame:
-    """Soft assignment: each vector's ``n`` best cells, exploded to
-    (vec_id, cluster) rows — the candidate-recall knob for cell-restricted
-    pair generation (SemDeDup soft clustering). One Arrow matmul per batch,
-    same kernel shape as ``_assign_expr``; output is n rows per vector, so
-    downstream per-cell joins cost at most n^2 x the top-1 pair space."""
-    from pyspark.sql.functions import pandas_udf
-
-    c = cents.astype(np.float64)
-
-    @pandas_udf("array<int>")
-    def _topn(u: pd.Series) -> pd.Series:
-        x = np.stack(u.to_numpy()).astype(np.float64)
-        s = x @ c.T
-        top = np.argsort(-s, axis=1)[:, :n].astype(np.int32)
-        return pd.Series(list(top))
-
-    return _unit_vectors(embeddings).select(
-        "vec_id", F.explode(_topn(F.col("u"))).alias("cluster")
-    )
-
-
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
