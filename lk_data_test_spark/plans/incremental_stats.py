@@ -31,6 +31,22 @@ Scale shape (10^12 rows): the per-partition state is one JSON-able stats row
 never O(rows); the delta scan is one partition-pruned-by-construction job
 over exactly the added files; the merge is driver-side over n_parts tiny
 rows.
+
+Extension map — the same pattern covers the rest of the suite, because each
+rule's signal is (or has) a mergeable form:
+  - schema: already metadata-only per file; trivially incremental.
+  - referential: violations are per-row independent — delta rows yield delta
+    violation counts that ADD to the stored metric.
+  - drift: the shared token partials (plans/shared.py — per (part, source)
+    n_tok histogram + token counts) are count rows that add bucket-wise;
+    quantiles re-derive from the merged histogram, and the t-digest sketch
+    (functions/tdigest.py) merges natively.
+  - uniqueness: the HLL screen merges (approx_count_distinct sketches are
+    mergeable by design); only a partition the merged screen FLAGS needs the
+    exact cross-file groupBy — which the batch rule already restricts to
+    flagged partitions.
+column_stats is implemented here as the exemplar because it exercises every
+merge flavor (sums, min/max, histogram) in one rule.
 """
 
 from __future__ import annotations
