@@ -180,27 +180,34 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.incremental_stats:
         from lk_data_test_spark.plans.incremental_stats import (
+            IncrementalDriftValidator,
             IncrementalStatsValidator,
         )
 
-        v = IncrementalStatsValidator(
-            PartitionedTable(seq_path),
-            os.path.join(args.data_dir, "_manifest", "incremental_stats.json"),
-        )
+        table = PartitionedTable(seq_path)
+        mdir = os.path.join(args.data_dir, "_manifest")
         t0 = time.time()
-        r = v.run(spark)
-        print(
-            json.dumps(
-                {
-                    "modes": {str(k): m for k, m in r["modes"].items()},
-                    "scanned_rows": r["scanned_rows"],
-                    "failed_partitions": sorted(
-                        p for p, res in r["parts"].items() if not res["passed"]
-                    ),
-                    "elapsed_sec": round(time.time() - t0, 2),
-                }
+        r = IncrementalStatsValidator(
+            table, os.path.join(mdir, "incremental_stats.json")
+        ).run(spark)
+        out = {
+            "modes": {str(k): m for k, m in r["modes"].items()},
+            "scanned_rows": r["scanned_rows"],
+            "failed_partitions": sorted(
+                p for p, res in r["parts"].items() if not res["passed"]
+            ),
+        }
+        prof_path = os.path.join(args.data_dir, "reference_profiles")
+        if os.path.exists(prof_path):
+            rd = IncrementalDriftValidator(
+                table, os.path.join(mdir, "incremental_drift.json")
+            ).run(spark, spark.read.parquet(prof_path))
+            out["drift_modes"] = {str(k): m for k, m in rd["modes"].items()}
+            out["drift_failed_partitions"] = sorted(
+                p for p, res in rd["parts"].items() if not res["passed"]
             )
-        )
+        out["elapsed_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
         return 0
 
     runner = ValidationRunner(

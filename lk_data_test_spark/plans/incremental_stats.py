@@ -114,6 +114,49 @@ def _part_files(table: PartitionedTable, pid: int) -> dict[str, int]:
     }
 
 
+def classify_partitions(
+    table: PartitionedTable, entries: dict[str, dict]
+) -> tuple[dict[int, list[str]], list[int], list[int]]:
+    """File-level lineage triage shared by the incremental validators:
+    -> (delta part -> added file paths, full parts, skipped parts)."""
+    delta: dict[int, list[str]] = {}
+    full: list[int] = []
+    skip: list[int] = []
+    for pid in table.partition_ids():
+        cur = _part_files(table, pid)
+        prior = entries.get(str(pid))
+        if prior is None:
+            full.append(pid)
+            continue
+        old = {k: int(v) for k, v in prior["files"].items()}
+        if cur == old:
+            skip.append(pid)
+        elif all(cur.get(f) == sz for f, sz in old.items()):
+            pdir = os.path.join(table.path, f"part_id={pid}")
+            delta[pid] = [
+                os.path.join(pdir, f) for f in sorted(set(cur) - set(old))
+            ]
+        else:  # rewrite / delete / size change -> full recompute
+            full.append(pid)
+    return delta, full, skip
+
+
+def _union_with_part_ids(spark: SparkSession, delta: dict[int, list[str]]):
+    """Union every partition's added files with its literal part_id
+    (directory-derived columns are absent when reading file paths)."""
+    frames = []
+    for pid, paths in delta.items():
+        frames.append(
+            spark.read.parquet(*paths).withColumn(
+                "part_id", F.lit(pid).cast("int")
+            )
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    return u
+
+
 class IncrementalStatsValidator:
     """Incremental column-stats validation with file-level lineage.
 
@@ -148,27 +191,7 @@ class IncrementalStatsValidator:
         os.replace(tmp, self.store_path)
 
     def _classify(self) -> tuple[dict[int, list[str]], list[int], list[int]]:
-        """-> (delta part -> added file paths, full parts, skipped parts)."""
-        delta: dict[int, list[str]] = {}
-        full: list[int] = []
-        skip: list[int] = []
-        for pid in self.table.partition_ids():
-            cur = _part_files(self.table, pid)
-            prior = self.entries.get(str(pid))
-            if prior is None:
-                full.append(pid)
-                continue
-            old = {k: int(v) for k, v in prior["files"].items()}
-            if cur == old:
-                skip.append(pid)
-            elif all(cur.get(f) == sz for f, sz in old.items()):
-                pdir = os.path.join(self.table.path, f"part_id={pid}")
-                delta[pid] = [
-                    os.path.join(pdir, f) for f in sorted(set(cur) - set(old))
-                ]
-            else:  # rewrite / delete / size change -> full recompute
-                full.append(pid)
-        return delta, full, skip
+        return classify_partitions(self.table, self.entries)
 
     def _stats_for(self, df) -> dict[int, dict]:
         rows = partition_stats(df, self.n_salt, self.bucket_width).collect()
@@ -189,20 +212,8 @@ class IncrementalStatsValidator:
                 results[pid] = {"mode": "full", "stats": s}
 
         if delta:
-            # ONE job over every partition's added files: read each delta
-            # file set with its literal part_id (directory-derived columns
-            # are absent when reading file paths directly), union, aggregate.
-            frames = []
-            for pid, paths in delta.items():
-                frames.append(
-                    spark.read.parquet(*paths).withColumn(
-                        "part_id", F.lit(pid).cast("int")
-                    )
-                )
-            u = frames[0]
-            for fr in frames[1:]:
-                u = u.unionByName(fr)
-            dstats = self._stats_for(u)
+            # ONE job over every partition's added files
+            dstats = self._stats_for(_union_with_part_ids(spark, delta))
             for pid in delta:
                 d = dstats.get(pid) or _empty_stats()
                 scanned_rows += d["row_count"]
@@ -241,3 +252,167 @@ def _empty_stats() -> dict:
     d["max_n_tok"] = None
     d["n_tok_hist"] = {}
     return d
+
+
+class IncrementalDriftValidator:
+    """Incremental DRIFT validation: the drift rule's entire signal is the
+    tagged token partials of plans/shared.py — per (source, kind, key) count
+    rows that merge by addition — so appended files contribute partials that
+    merge exactly with the stored ones, and the KS/L1 scoring re-derives
+    from the merged table (same helpers, same thresholds as the batch rule).
+
+    Per-partition state is the partials list (bounded by sources x
+    (|reference tokens| + |distinct n_tok|), independent of row count) plus
+    the file lineage. Hashed-domain profiles (the pathological-vocabulary
+    fallback) are refused here — their bucket folding is a lossy transform
+    best kept on the one-shot batch path.
+    """
+
+    def __init__(self, table: PartitionedTable, store_path: str, params: dict | None = None):
+        from ..operators.drift import DEFAULTS
+
+        self.table = table
+        self.store_path = store_path
+        self.params = {**DEFAULTS, **(params or {})}
+        self.entries: dict[str, dict] = {}
+        if os.path.exists(store_path):
+            with open(store_path) as f:
+                self.entries = json.load(f)
+
+    def _save(self) -> None:
+        os.makedirs(os.path.dirname(self.store_path) or ".", exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.store_path) or ".")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self.entries, f, sort_keys=True)
+        os.replace(tmp, self.store_path)
+
+    def _partials_for(self, spark, df, profiles) -> dict[int, list]:
+        from ..plans.shared import KIND_NTOK, KIND_TOKEN, SharedTokenStats
+
+        shared = SharedTokenStats.from_profiles(
+            df,
+            profiles,
+            max_ref_tokens=int(self.params["max_ref_tokens"]),
+            hash_buckets=int(self.params["hash_buckets"]),
+        )
+        if shared.hash_mod:
+            raise ValueError(
+                "hashed-domain profiles are not supported incrementally; "
+                "run the batch drift rule"
+            )
+        rows = (
+            shared.partials.filter(F.col("kind").isin(KIND_NTOK, KIND_TOKEN))
+            .collect()
+        )
+        out: dict[int, list] = {}
+        for r in rows:
+            out.setdefault(int(r["part_id"]), []).append(
+                [r["source"], int(r["kind"]), int(r["key"]), int(r["cnt"])]
+            )
+        return out
+
+    @staticmethod
+    def _merge_partials(a: list, b: list) -> list:
+        acc: dict[tuple, int] = {}
+        for src, kind, key, cnt in list(a) + list(b):
+            k = (src, int(kind), int(key))
+            acc[k] = acc.get(k, 0) + int(cnt)
+        return [
+            [src, kind, key, cnt]
+            for (src, kind, key), cnt in sorted(acc.items())
+        ]
+
+    def _score(self, partials: list, quantiles, token_freq, ref_tokens) -> float:
+        """max over (source) groups of max(ks/ks_thr, l1/l1_thr) — the same
+        math as the batch rule's score_fn, driver-side over the tiny merged
+        partials (deterministic: partials are sorted before scoring)."""
+        import numpy as np
+
+        from ..operators.drift import _ks_from_hist, _ks_from_tdigest
+
+        ks_fn = (
+            _ks_from_tdigest
+            if self.params["method"] == "tdigest"
+            else _ks_from_hist
+        )
+        by_src: dict[str, dict[int, list]] = {}
+        for src, kind, key, cnt in sorted(partials):
+            by_src.setdefault(src, {0: [], 1: []})[kind].append((key, cnt))
+        best = 0.0
+        for src, kinds in by_src.items():
+            h = np.array(kinds[0], dtype=np.float64).reshape(-1, 2)
+            n_docs = float(h[:, 1].sum()) if len(h) else 0.0
+            if n_docs < float(self.params["min_docs"]):
+                continue
+            q = quantiles.get(src)
+            ks = ks_fn(h[:, 0], h[:, 1], q) if q is not None and len(h) else 0.0
+            total = float((h[:, 0] * h[:, 1]).sum()) if len(h) else 0.0
+            obs = np.zeros(len(ref_tokens))
+            idx = {t: i for i, t in enumerate(ref_tokens)}
+            for key, cnt in kinds[1]:
+                i = idx.get(int(key))
+                if i is not None:
+                    obs[i] = float(cnt)
+            obs = obs / total if total > 0 else obs
+            ref = token_freq.get(src, {})
+            refv = np.array([ref.get(tk, 0.0) for tk in ref_tokens])
+            l1 = float(np.abs(obs - refv).sum())
+            score = max(
+                ks / float(self.params["ks_threshold"]),
+                l1 / float(self.params["l1_threshold"]),
+            )
+            best = max(best, score)
+        return best
+
+    def run(self, spark: SparkSession, profiles) -> dict:
+        import numpy as np
+
+        delta, full, skip = classify_partitions(self.table, self.entries)
+        partials_by_part: dict[int, list] = {}
+
+        if full:
+            got = self._partials_for(
+                spark, self.table.read_partitions(spark, full), profiles
+            )
+            for pid in full:
+                partials_by_part[pid] = sorted(got.get(pid, []))
+        if delta:
+            got = self._partials_for(
+                spark, _union_with_part_ids(spark, delta), profiles
+            )
+            for pid in delta:
+                partials_by_part[pid] = self._merge_partials(
+                    self.entries[str(pid)]["partials"], got.get(pid, [])
+                )
+
+        prof_rows = profiles.collect()
+        quantiles = {
+            r["source"]: np.asarray(r["n_tok_quantiles"], dtype=np.float64)
+            for r in prof_rows
+        }
+        token_freq = {r["source"]: dict(r["token_freq"]) for r in prof_rows}
+        ref_tokens = sorted({t for m in token_freq.values() for t in m})
+
+        results: dict[int, dict] = {}
+        for pid in skip:
+            partials_by_part[pid] = self.entries[str(pid)]["partials"]
+        for pid, partials in partials_by_part.items():
+            metric = self._score(partials, quantiles, token_freq, ref_tokens)
+            mode = (
+                "skip" if pid in skip else "delta" if pid in delta else "full"
+            )
+            results[pid] = {
+                "mode": mode,
+                "metric": metric,
+                "passed": metric <= 1.0,
+            }
+            if mode != "skip":
+                self.entries[str(pid)] = {
+                    "files": _part_files(self.table, pid),
+                    "partials": partials,
+                }
+        self._save()
+        return {
+            "parts": results,
+            "modes": {pid: r["mode"] for pid, r in sorted(results.items())},
+        }

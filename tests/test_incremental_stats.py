@@ -89,3 +89,77 @@ def test_incremental_stats_delta_merge(spark, tmp_path):
     r4 = v2.run(spark)
     assert r4["modes"][3] == "full"
     assert all(m == "skip" for p, m in r4["modes"].items() if p != 3)
+
+
+def test_incremental_drift_delta_matches_batch(spark, tmp_path):
+    """Incremental drift: the full first run reproduces the batch rule's
+    per-partition verdicts; after a pure append the delta run (which scans
+    only the added files' partials) matches a fresh BATCH evaluation of the
+    grown table — i.e. merging partials loses nothing."""
+    import numpy as np
+
+    from lk_data_test_spark.operators import drift
+    from lk_data_test_spark.plans.incremental_stats import (
+        IncrementalDriftValidator,
+    )
+    from lk_data_test_spark.plans.rules import RuleContext
+
+    d = str(tmp_path / "corpus")
+    cfg = GenConfig(n_parts=5, rows_per_part=1200)
+    generate(spark, d, cfg)
+    table = PartitionedTable(f"{d}/sequences")
+    profiles = spark.read.parquet(f"{d}/reference_profiles")
+    allowed = spark.read.parquet(f"{d}/allowed_sources")
+
+    def batch_verdicts():
+        # drift.evaluate caches its per-group frame (the suite runner
+        # unpersists it); clear it here so the SECOND batch evaluation after
+        # the append is not silently served the pre-append cached plan
+        # (CacheManager matches by logical-plan equality)
+        spark.catalog.clearCache()
+        ctx = RuleContext(
+            spark=spark,
+            allowed_sources=allowed,
+            reference_profiles=profiles,
+            part_ids=table.partition_ids(),
+        )
+        return {
+            int(r["part_id"]): (bool(r["passed"]), float(r["metric"]))
+            for r in drift.evaluate(table.read(spark), ctx).verdicts.collect()
+        }
+
+    v = IncrementalDriftValidator(table, str(tmp_path / "drift_store.json"))
+    r1 = v.run(spark, profiles)
+    b1 = batch_verdicts()
+    assert all(m == "full" for m in r1["modes"].values())
+    assert set(r1["parts"]) == set(b1)
+    # the drift role (part 4 at n_parts=5) must actually fail — otherwise
+    # this test proves nothing
+    assert b1[4][0] is False and b1[0][0] is True
+    for pid, res in r1["parts"].items():
+        assert res["passed"] == b1[pid][0], (pid, res, b1[pid])
+        assert np.isclose(res["metric"], b1[pid][1], rtol=1e-9), pid
+
+    # pure append of distribution-shifting rows into CLEAN part 0: the
+    # incremental delta result must equal a fresh batch evaluation of the
+    # grown table (merge-exactness), and only part 0 may re-read anything
+    rows = [
+        (f"A{i:04d}", [3, 3, 3, 3, 3, 3, 3, 3], 8, "editions")
+        for i in range(400)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    ).coalesce(1).write.mode("append").parquet(f"{d}/sequences/part_id=0")
+
+    v2 = IncrementalDriftValidator(table, str(tmp_path / "drift_store.json"))
+    r2 = v2.run(spark, profiles)
+    assert r2["modes"][0] == "delta"
+    assert all(m == "skip" for p, m in r2["modes"].items() if p != 0)
+    b2 = batch_verdicts()
+    for pid, res in r2["parts"].items():
+        assert res["passed"] == b2[pid][0], (pid, res, b2[pid])
+        assert np.isclose(res["metric"], b2[pid][1], rtol=1e-9), pid
+
+    # idempotent
+    r3 = v2.run(spark, profiles)
+    assert all(m == "skip" for m in r3["modes"].values())
