@@ -206,6 +206,28 @@ def main(argv: list[str] | None = None) -> int:
             out["drift_failed_partitions"] = sorted(
                 p for p, res in rd["parts"].items() if not res["passed"]
             )
+        allowed_path = os.path.join(args.data_dir, "allowed_sources")
+        if os.path.exists(allowed_path):
+            from lk_data_test_spark.plans.incremental_stats import (
+                IncrementalReferentialValidator,
+            )
+
+            rr = IncrementalReferentialValidator(
+                table, os.path.join(mdir, "incremental_referential.json")
+            ).run(spark, spark.read.parquet(allowed_path))
+            out["referential_failed_partitions"] = sorted(
+                p for p, res in rr["parts"].items() if not res["passed"]
+            )
+        from lk_data_test_spark.plans.incremental_stats import (
+            IncrementalUniquenessValidator,
+        )
+
+        ru = IncrementalUniquenessValidator(
+            table, os.path.join(mdir, "incremental_uniqueness.json")
+        ).run(spark)
+        out["uniqueness_failed_partitions"] = sorted(
+            p for p, res in ru["parts"].items() if not res["passed"]
+        )
         out["elapsed_sec"] = round(time.time() - t0, 2)
         print(json.dumps(out))
         return 0

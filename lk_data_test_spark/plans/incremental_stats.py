@@ -32,21 +32,24 @@ never O(rows); the delta scan is one partition-pruned-by-construction job
 over exactly the added files; the merge is driver-side over n_parts tiny
 rows.
 
-Extension map — the same pattern covers the rest of the suite, because each
-rule's signal is (or has) a mergeable form:
-  - schema: already metadata-only per file; trivially incremental.
-  - referential: violations are per-row independent — delta rows yield delta
-    violation counts that ADD to the stored metric.
-  - drift: the shared token partials (plans/shared.py — per (part, source)
-    n_tok histogram + token counts) are count rows that add bucket-wise;
-    quantiles re-derive from the merged histogram, and the t-digest sketch
-    (functions/tdigest.py) merges natively.
-  - uniqueness: the HLL screen merges (approx_count_distinct sketches are
-    mergeable by design); only a partition the merged screen FLAGS needs the
-    exact cross-file groupBy — which the batch rule already restricts to
-    flagged partitions.
-column_stats is implemented here as the exemplar because it exercises every
-merge flavor (sums, min/max, histogram) in one rule.
+The whole data-rule suite is incremental here, because every rule's signal
+is (or has) a mergeable form:
+  - column_stats (IncrementalStatsValidator): sums add, min/max take
+    min/max, the bucketed histogram adds bucket-wise — merge is
+    bit-identical to a full recompute.
+  - drift (IncrementalDriftValidator): the shared token partials
+    (plans/shared.py — per (part, source) n_tok histogram + token counts)
+    are count rows that add; the KS/L1 scoring re-derives from the merged
+    table with the batch rule's own helpers.
+  - referential (IncrementalReferentialValidator): violations are per-row
+    independent — delta counts ADD to the stored metric.
+  - uniqueness (IncrementalUniquenessValidator): the Datasketches HLL
+    sketch UNIONS (F.hll_sketch_agg / hll_union_agg) and the exact row
+    count adds; only a partition the MERGED screen flags pays the exact
+    cross-file hash-group pass (duplicates can straddle old and new files,
+    so no delta-only exact check is sound — the screen's job is making the
+    full pass rare).
+  - schema is metadata-only per file; the batch rule is already O(1).
 """
 
 from __future__ import annotations
@@ -410,6 +413,212 @@ class IncrementalDriftValidator:
                 self.entries[str(pid)] = {
                     "files": _part_files(self.table, pid),
                     "partials": partials,
+                }
+        self._save()
+        return {
+            "parts": results,
+            "modes": {pid: r["mode"] for pid, r in sorted(results.items())},
+        }
+
+
+class IncrementalReferentialValidator:
+    """Incremental REFERENTIAL validation: the rule is per-row independent
+    (a row either has an allowed source or not), so delta files contribute
+    delta violation counts that ADD to the stored metric — nothing else is
+    state. passed = metric == 0, matching the batch rule."""
+
+    def __init__(self, table: PartitionedTable, store_path: str):
+        self.table = table
+        self.store_path = store_path
+        self.entries: dict[str, dict] = {}
+        if os.path.exists(store_path):
+            with open(store_path) as f:
+                self.entries = json.load(f)
+
+    def _save(self) -> None:
+        os.makedirs(os.path.dirname(self.store_path) or ".", exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.store_path) or ".")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self.entries, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.store_path)
+
+    @staticmethod
+    def _counts(df, allowed) -> dict[int, int]:
+        active = allowed.filter(F.col("active")).select("source")
+        rows = (
+            df.select("part_id", "source")
+            .join(F.broadcast(active), "source", "left_anti")
+            .groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {int(r["part_id"]): int(r["n"]) for r in rows}
+
+    def run(self, spark: SparkSession, allowed) -> dict:
+        delta, full, skip = classify_partitions(self.table, self.entries)
+        results: dict[int, dict] = {}
+        if full:
+            got = self._counts(
+                self.table.read_partitions(spark, full), allowed
+            )
+            for pid in full:
+                results[pid] = {"mode": "full", "metric": float(got.get(pid, 0))}
+        if delta:
+            got = self._counts(_union_with_part_ids(spark, delta), allowed)
+            for pid in delta:
+                results[pid] = {
+                    "mode": "delta",
+                    "metric": float(self.entries[str(pid)]["metric"])
+                    + float(got.get(pid, 0)),
+                }
+        for pid in skip:
+            results[pid] = {
+                "mode": "skip",
+                "metric": float(self.entries[str(pid)]["metric"]),
+            }
+        for pid, res in results.items():
+            res["passed"] = res["metric"] == 0.0
+            if res["mode"] != "skip":
+                self.entries[str(pid)] = {
+                    "files": _part_files(self.table, pid),
+                    "metric": res["metric"],
+                }
+        self._save()
+        return {
+            "parts": results,
+            "modes": {pid: r["mode"] for pid, r in sorted(results.items())},
+        }
+
+
+class IncrementalUniquenessValidator:
+    """Incremental UNIQUENESS validation: the HLL screen's sketch is
+    mergeable by design (Datasketches HLL via F.hll_sketch_agg /
+    hll_union_agg), so appended files contribute a delta sketch that unions
+    with the stored one, and the exact row count adds. A partition whose
+    MERGED screen flags possible duplicates (estimate < rows * (1 - 3*rsd),
+    the batch rule's band) falls back to the exact hash-group pass over the
+    WHOLE partition — duplicates can straddle old and new files, so no
+    delta-only exact check is sound; the screen's job is making that full
+    pass rare. A still-flagged partition re-runs its exact pass on EVERY
+    run, including skip runs — the same contract as the manifest's
+    failure-replay semantics (validated partitions skip, failures replay).
+    lgConfigK=14 gives the sketch ~0.8% relative error, inside the rsd=0.01
+    band.
+    """
+
+    def __init__(
+        self, table: PartitionedTable, store_path: str, rsd: float = 0.01,
+        lg_config_k: int = 14,
+    ):
+        self.table = table
+        self.store_path = store_path
+        self.rsd = rsd
+        self.lg_k = lg_config_k
+        self.entries: dict[str, dict] = {}
+        if os.path.exists(store_path):
+            with open(store_path) as f:
+                self.entries = json.load(f)
+
+    def _save(self) -> None:
+        os.makedirs(os.path.dirname(self.store_path) or ".", exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.store_path) or ".")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self.entries, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.store_path)
+
+    def _sketches(self, df) -> dict[int, tuple[int, bytes]]:
+        rows = (
+            df.groupBy("part_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.hll_sketch_agg("doc_id", F.lit(self.lg_k)).alias("sk"),
+            )
+            .collect()
+        )
+        return {int(r["part_id"]): (int(r["n"]), bytes(r["sk"])) for r in rows}
+
+    def _union_sketches(self, spark, pairs: dict[int, list[bytes]]) -> dict[int, tuple[bytes, int]]:
+        """Union each partition's sketch list and estimate, one tiny job."""
+        data = [(pid, sk) for pid, sks in pairs.items() for sk in sks]
+        rows = (
+            spark.createDataFrame(data, "part_id int, sk binary")
+            .groupBy("part_id")
+            .agg(F.hll_union_agg("sk").alias("u"))
+            .select(
+                "part_id", "u", F.hll_sketch_estimate("u").alias("est")
+            )
+            .collect()
+        )
+        return {int(r["part_id"]): (bytes(r["u"]), int(r["est"])) for r in rows}
+
+    def run(self, spark: SparkSession) -> dict:
+        import base64
+
+        from ..operators.uniqueness import duplicate_doc_ids
+
+        delta, full, skip = classify_partitions(self.table, self.entries)
+        state: dict[int, tuple[int, bytes]] = {}  # pid -> (n_rows, sketch)
+        results: dict[int, dict] = {}
+
+        if full:
+            got = self._sketches(self.table.read_partitions(spark, full))
+            for pid in full:
+                state[pid] = got.get(pid, (0, b""))
+                results[pid] = {"mode": "full"}
+        if delta:
+            got = self._sketches(_union_with_part_ids(spark, delta))
+            to_union: dict[int, list[bytes]] = {}
+            d_rows: dict[int, int] = {}
+            for pid in delta:
+                n_new, sk_new = got.get(pid, (0, b""))
+                old = self.entries[str(pid)]
+                d_rows[pid] = int(old["n_rows"]) + n_new
+                sks = [base64.b64decode(old["sketch_b64"])]
+                if sk_new:
+                    sks.append(sk_new)
+                to_union[pid] = sks
+            unioned = self._union_sketches(spark, to_union)
+            for pid in delta:
+                state[pid] = (d_rows[pid], unioned[pid][0])
+                results[pid] = {"mode": "delta"}
+        for pid in skip:
+            old = self.entries[str(pid)]
+            state[pid] = (
+                int(old["n_rows"]), base64.b64decode(old["sketch_b64"])
+            )
+            results[pid] = {"mode": "skip"}
+
+        # screen over merged state (estimates in one tiny job)
+        ests = self._union_sketches(
+            spark, {pid: [sk] for pid, (_, sk) in state.items() if sk}
+        )
+        flagged = [
+            pid
+            for pid, (n, sk) in state.items()
+            if sk and n > 0 and ests[pid][1] < n * (1.0 - 3.0 * self.rsd)
+        ]
+        dup_counts: dict[int, int] = {}
+        if flagged:
+            dups = duplicate_doc_ids(
+                self.table.read_partitions(spark, flagged)
+            )
+            for r in (
+                dups.groupBy("part_id").agg(F.count(F.lit(1)).alias("n")).collect()
+            ):
+                dup_counts[int(r["part_id"])] = int(r["n"])
+
+        for pid, res in results.items():
+            exact = pid in flagged
+            metric = float(dup_counts.get(pid, 0)) if exact else 0.0
+            res["metric"] = metric
+            res["passed"] = metric == 0.0
+            res["detail"] = "path=exact" if exact else "path=screen"
+            if res["mode"] != "skip":
+                n, sk = state[pid]
+                self.entries[str(pid)] = {
+                    "files": _part_files(self.table, pid),
+                    "n_rows": n,
+                    "sketch_b64": base64.b64encode(sk).decode(),
                 }
         self._save()
         return {

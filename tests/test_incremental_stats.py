@@ -163,3 +163,87 @@ def test_incremental_drift_delta_matches_batch(spark, tmp_path):
     # idempotent
     r3 = v2.run(spark, profiles)
     assert all(m == "skip" for m in r3["modes"].values())
+
+
+def test_incremental_referential_and_uniqueness(spark, tmp_path):
+    """The remaining data rules go incremental too: referential metrics ADD
+    (per-row independent), the uniqueness HLL sketch UNIONS (mergeable by
+    design) with the exact hash-group pass reserved for partitions the
+    merged screen flags. Full-run and post-append delta-run verdicts both
+    match fresh batch evaluations."""
+    from lk_data_test_spark.operators import referential, uniqueness
+    from lk_data_test_spark.plans.incremental_stats import (
+        IncrementalReferentialValidator,
+        IncrementalUniquenessValidator,
+    )
+    from lk_data_test_spark.plans.rules import RuleContext
+
+    d = str(tmp_path / "corpus")
+    cfg = GenConfig(n_parts=5, rows_per_part=1200)
+    generate(spark, d, cfg)
+    table = PartitionedTable(f"{d}/sequences")
+    allowed = spark.read.parquet(f"{d}/allowed_sources")
+
+    def batch(rule_mod):
+        spark.catalog.clearCache()
+        ctx = RuleContext(
+            spark=spark, allowed_sources=allowed,
+            part_ids=table.partition_ids(),
+        )
+        return {
+            int(r["part_id"]): (bool(r["passed"]), float(r["metric"]))
+            for r in rule_mod.evaluate(table.read(spark), ctx).verdicts.collect()
+        }
+
+    vr = IncrementalReferentialValidator(table, str(tmp_path / "ref.json"))
+    vu = IncrementalUniquenessValidator(table, str(tmp_path / "uniq.json"))
+    r1, u1 = vr.run(spark, allowed), vu.run(spark)
+    br, bu = batch(referential), batch(uniqueness)
+    # roles: part 1 dup (uniqueness fails), part 3 badsrc (referential fails)
+    assert br[3][0] is False and bu[1][0] is False
+    for pid in br:
+        assert r1["parts"][pid]["passed"] == br[pid][0]
+        assert r1["parts"][pid]["metric"] == br[pid][1]
+        assert u1["parts"][pid]["passed"] == bu[pid][0]
+        assert u1["parts"][pid]["metric"] == bu[pid][1]
+    assert u1["parts"][1]["detail"] == "path=exact"
+    assert u1["parts"][0]["detail"] == "path=screen"
+
+    # appends: 60 copies of ONE doc_id into clean part 0 (uniqueness) and
+    # 5 unknown-source rows into part 2 (referential)
+    spark.createDataFrame(
+        [("DUPLICATED", [1, 2], 2, "cases")] * 60,
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1).write.mode("append").parquet(f"{d}/sequences/part_id=0")
+    spark.createDataFrame(
+        [(f"N{i}", [1, 2], 2, "not-a-source") for i in range(5)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1).write.mode("append").parquet(f"{d}/sequences/part_id=2")
+
+    r2 = IncrementalReferentialValidator(table, str(tmp_path / "ref.json")).run(
+        spark, allowed
+    )
+    u2 = IncrementalUniquenessValidator(table, str(tmp_path / "uniq.json")).run(
+        spark
+    )
+    assert r2["modes"][2] == "delta" and u2["modes"][0] == "delta"
+    br2, bu2 = batch(referential), batch(uniqueness)
+    for pid in br2:
+        assert r2["parts"][pid]["passed"] == br2[pid][0], pid
+        assert r2["parts"][pid]["metric"] == br2[pid][1], pid
+        assert u2["parts"][pid]["passed"] == bu2[pid][0], pid
+        assert u2["parts"][pid]["metric"] == bu2[pid][1], pid
+    # the appended dup collapses to ONE duplicated key, found via the
+    # MERGED sketch flagging part 0 (old sketch + delta sketch)
+    assert u2["parts"][0]["detail"] == "path=exact"
+    assert u2["parts"][0]["metric"] == 1.0
+
+    # idempotent
+    r3 = IncrementalReferentialValidator(table, str(tmp_path / "ref.json")).run(
+        spark, allowed
+    )
+    u3 = IncrementalUniquenessValidator(table, str(tmp_path / "uniq.json")).run(
+        spark
+    )
+    assert all(m == "skip" for m in r3["modes"].values())
+    assert all(m == "skip" for m in u3["modes"].values())
