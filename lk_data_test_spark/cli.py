@@ -219,6 +219,7 @@ def main(argv: list[str] | None = None) -> int:
                 p for p, res in rr["parts"].items() if not res["passed"]
             )
         from lk_data_test_spark.plans.incremental_stats import (
+            IncrementalTokenBoundsValidator,
             IncrementalUniquenessValidator,
         )
 
@@ -227,6 +228,12 @@ def main(argv: list[str] | None = None) -> int:
         ).run(spark)
         out["uniqueness_failed_partitions"] = sorted(
             p for p, res in ru["parts"].items() if not res["passed"]
+        )
+        rt = IncrementalTokenBoundsValidator(
+            table, os.path.join(mdir, "incremental_token_bounds.json")
+        ).run(spark)
+        out["token_bounds_failed_partitions"] = sorted(
+            p for p, res in rt["parts"].items() if not res["passed"]
         )
         out["elapsed_sec"] = round(time.time() - t0, 2)
         print(json.dumps(out))

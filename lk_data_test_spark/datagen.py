@@ -128,6 +128,13 @@ def _gen_partition(part_id: int, cfg: GenConfig) -> pd.DataFrame:
         n_tok_out[bad[3]] = 0
         n_tok_out[bad[4]] = int(n_tok[bad[4]]) + 7
         n_tok_out[bad[5]] = int(n_tok[bad[5]]) + 7
+        # out-of-vocab token values (token_bounds): 5 rows get their first
+        # token replaced by an id outside [0, vocab) — 3 above the vocab,
+        # 2 negative. Drawn AFTER the rows above so the rng stream feeding
+        # every earlier draw (and every other role) is unchanged.
+        oov = rng.choice(n, size=5, replace=False)
+        for j, i in enumerate(oov):
+            tokens[i][0] = cfg.vocab + 100 + j if j < 3 else -(j - 1)
     elif role == "badsrc":
         b = max(1, int(cfg.badsrc_frac * n))
         bad = rng.choice(n, size=b, replace=False)
@@ -225,6 +232,7 @@ def expected_failing_parts(cfg: GenConfig) -> dict[str, set[int]]:
     return {
         "schema": set(),  # generated corpus always matches the contract
         "column_stats": set(by_role["badcol"]),
+        "token_bounds": set(by_role["badcol"]),  # 5 OOV rows per badcol part
         "uniqueness": set(by_role["dup"]),
         "referential": set(by_role["badsrc"]),
         "drift": set(by_role["drift"]),

@@ -2765,7 +2765,7 @@ def embedding_ann_ivf_trained(spark, sf_dir):
 # ===========================================================================
 
 # The flagship's corpus is generated deterministically in-process
-# (GenConfig(5, 400) — sf_dir is ignored), so its 25 (part, rule) verdict
+# (GenConfig(5, 400) — sf_dir is ignored), so its 30 (part, rule) verdict
 # rows are constants: the oracle is the reference expectation spelled out as
 # a VALUES literal (verified identical under local[8] and local[32]).
 #
@@ -2784,6 +2784,11 @@ def embedding_ann_ivf_trained(spark, sf_dir):
 #   so metric = 2 null + 2 nonpos + (2+2) mismatch = 8.
 # - referential part 3 metric 4.0: badsrc_frac=0.01 x 400 = 4 disallowed
 #   sources (`datagen.py:63,131-137`).
+# - token_bounds part 2 metric 5.0: the badcol role plants exactly 5 rows
+#   whose first token is replaced by an out-of-vocab id (3 above vocab,
+#   2 negative — `datagen.py` badcol branch); the metric counts ROWS with
+#   any OOV token, so it is 5 regardless of how many ids each row holds.
+#   detail is the checked bound, vocab=[0,32768) (GenConfig.vocab default).
 # - drift: all 5 parts pass with metric 0.0 under the default histogram
 #   method (threshold 1.0): part 4's injected drift shifts the n_tok/token
 #   distributions but stays inside the hist threshold at 400 rows — the
@@ -2811,6 +2816,11 @@ _FLAGSHIP_ROWS = [
     (2, "schema", True, 0.0, 0.0, None),
     (3, "schema", True, 0.0, 0.0, None),
     (4, "schema", True, 0.0, 0.0, None),
+    (0, "token_bounds", True, 0.0, 0.0, "vocab=[0,32768)"),
+    (1, "token_bounds", True, 0.0, 0.0, "vocab=[0,32768)"),
+    (2, "token_bounds", False, 5.0, 0.0, "vocab=[0,32768)"),
+    (3, "token_bounds", True, 0.0, 0.0, "vocab=[0,32768)"),
+    (4, "token_bounds", True, 0.0, 0.0, "vocab=[0,32768)"),
     (0, "uniqueness", True, 0.0, 0.0, "path=screen"),
     (1, "uniqueness", False, 20.0, 0.0, "path=exact"),
     (2, "uniqueness", True, 0.0, 0.0, "path=screen"),

@@ -43,6 +43,8 @@ is (or has) a mergeable form:
     table with the batch rule's own helpers.
   - referential (IncrementalReferentialValidator): violations are per-row
     independent — delta counts ADD to the stored metric.
+  - token_bounds (IncrementalTokenBoundsValidator): same per-row-independent
+    shape as referential — delta OOV-row counts ADD.
   - uniqueness (IncrementalUniquenessValidator): the Datasketches HLL
     sketch UNIONS (F.hll_sketch_agg / hll_union_agg) and the exact row
     count adds; only a partition the MERGED screen flags pays the exact
@@ -488,6 +490,43 @@ class IncrementalReferentialValidator:
             "parts": results,
             "modes": {pid: r["mode"] for pid, r in sorted(results.items())},
         }
+
+
+class IncrementalTokenBoundsValidator(IncrementalReferentialValidator):
+    """Incremental TOKEN_BOUNDS validation: like referential, the rule is
+    per-row independent (a row either contains an out-of-vocab token or
+    not), so delta files contribute delta violation counts that ADD to the
+    stored metric. Inherits the file-lineage store / classify / merge loop
+    from the referential validator; only the counting plan differs — and the
+    ``allowed`` argument is repurposed as (vocab_lo, vocab_size)."""
+
+    def __init__(
+        self, table: PartitionedTable, store_path: str,
+        vocab_lo: int = 0, vocab_size: int = 32768,
+    ):
+        super().__init__(table, store_path)
+        self.vocab_lo = int(vocab_lo)
+        self.vocab_size = int(vocab_size)
+
+    def _counts(self, df, allowed=None) -> dict[int, int]:
+        from ..operators.token_bounds import has_oov
+
+        rows = (
+            df.select(
+                "part_id",
+                F.when(has_oov(self.vocab_lo, self.vocab_size), 1)
+                .otherwise(0)
+                .alias("b"),
+            )
+            .groupBy("part_id")
+            .agg(F.sum("b").alias("n"))
+            .filter(F.col("n") > 0)
+            .collect()
+        )
+        return {int(r["part_id"]): int(r["n"]) for r in rows}
+
+    def run(self, spark: SparkSession, allowed=None) -> dict:
+        return super().run(spark, allowed)
 
 
 class IncrementalUniquenessValidator:

@@ -130,11 +130,19 @@ def canonical_violations(v: DataFrame) -> DataFrame:
 
 def default_rules() -> list[Rule]:
     """The full suite (SURVEY.md §7.2). Import here to avoid cycles."""
-    from ..operators import column_stats, drift, referential, schema_check, uniqueness
+    from ..operators import (
+        column_stats,
+        drift,
+        referential,
+        schema_check,
+        token_bounds,
+        uniqueness,
+    )
 
     return [
         Rule("schema", "1.0", schema_check.evaluate),
         Rule("column_stats", "1.0", column_stats.evaluate),
+        Rule("token_bounds", "1.0", token_bounds.evaluate),
         Rule("uniqueness", "1.0", uniqueness.evaluate),
         Rule("referential", "1.0", referential.evaluate),
         Rule("drift", "1.0", drift.evaluate),

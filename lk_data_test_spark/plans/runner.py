@@ -71,13 +71,20 @@ class ValidationRunner:
 
         df = self.table.read_partitions(self.spark, pending)
         # ONE shared physical pass over `tokens` (the dominant column) serves
-        # both drift (kinds 0/1) and column_stats (kinds 2/3); persisted so
-        # whichever rule thread triggers it first materializes it for both
-        # (BlockManager locks dedupe concurrent partition computation).
+        # drift (kinds 0/1), column_stats (kinds 2/3) and the token_bounds
+        # screen (kind 4); persisted so whichever rule thread triggers it
+        # first materializes it for all of them (BlockManager locks dedupe
+        # concurrent partition computation).
+        from ..operators.token_bounds import DEFAULTS as TB_DEFAULTS
         from .shared import SharedTokenStats
 
         shared = SharedTokenStats.from_profiles(
-            df, self.reference_profiles
+            df,
+            self.reference_profiles,
+            vocab_lo=int(self.params.get("vocab_lo", TB_DEFAULTS["vocab_lo"])),
+            vocab_hi=int(
+                self.params.get("vocab_size", TB_DEFAULTS["vocab_size"])
+            ),
         ).persist()
         ctx = RuleContext(
             spark=self.spark,
@@ -145,7 +152,7 @@ class ValidationRunner:
             )
             # hand back the materialized sink instead of the live plan: later
             # consumers (reports, fixture compares) re-read parquet rather
-            # than re-running five rule plans
+            # than re-running every rule's full plan
             cols = [f.name for f in violations.schema.fields]
             violations = (
                 self.spark.read.parquet(out_path)

@@ -11,6 +11,15 @@ Arrow-native pass emitting tagged, mergeable partials that both rules consume
     kind 1  token frequency        key = token id         cnt = occurrences
     kind 2  len-mismatch rows      key = 0                cnt = rows with n_tok != size(tokens)
     kind 3  null-tokens rows       key = 0                cnt = rows with tokens IS NULL
+    kind 4  out-of-vocab rows      key = 0                cnt = rows with any token
+                                                                outside [vocab_lo, vocab_hi)
+
+Kind 4 is emitted only when the scan is built with explicit vocab bounds
+(``vocab_lo``/``vocab_hi``): it screens the token_bounds rule against the
+TOKENIZER vocabulary, which is independent of the reference-profile domain
+kinds 0/1 use — in the hashed-domain fallback the profile keys are no longer
+token ids at all, so the bound check always runs on the raw values BEFORE any
+hashing.
 
 Kinds 0/1 are drift's signals and are emitted only for non-null sources (a
 null source has no reference profile; such rows still count in kinds 2/3).
@@ -47,6 +56,7 @@ KIND_NTOK = 0
 KIND_TOKEN = 1
 KIND_LEN_MISMATCH = 2
 KIND_NULL_TOKENS = 3
+KIND_OOV_ROWS = 4
 
 # Driver-OOM guard for the reference-profile token domain: the collected
 # token-id set is bounded by the reference vocabulary (~10^5-10^6 for real
@@ -76,14 +86,19 @@ class SharedTokenStats:
 
     def __init__(self, df: DataFrame, lo: int, hi: int, contiguous: bool,
                  ref_tokens: list[int] | None = None,
-                 hash_mod: int | None = None):
+                 hash_mod: int | None = None,
+                 vocab_lo: int | None = None,
+                 vocab_hi: int | None = None):
         self.lo = int(lo)
         self.hi = int(hi)
         self.contiguous = bool(contiguous)
         self.ref_tokens = ref_tokens
         self.hash_mod = hash_mod
+        self.vocab_lo = vocab_lo
+        self.vocab_hi = vocab_hi  # exclusive; None disables kind 4
         self._partials = _build_partials(df, self.lo, self.hi, self.contiguous,
-                                         ref_tokens, hash_mod)
+                                         ref_tokens, hash_mod,
+                                         vocab_lo, vocab_hi)
 
     @classmethod
     def from_profiles(
@@ -92,6 +107,8 @@ class SharedTokenStats:
         profiles: DataFrame,
         max_ref_tokens: int = DEFAULT_MAX_REF_TOKENS,
         hash_buckets: int = DEFAULT_HASH_BUCKETS,
+        vocab_lo: int | None = None,
+        vocab_hi: int | None = None,
     ) -> "SharedTokenStats":
         # Bound the profile-domain collect with a LIMIT pushed into the ONE
         # Spark job (no separate count() job): at most cap+1 distinct keys
@@ -107,11 +124,13 @@ class SharedTokenStats:
         )
         if len(keys) > max_ref_tokens:
             return cls(df, 0, hash_buckets - 1, True, None,
-                       hash_mod=hash_buckets)
+                       hash_mod=hash_buckets,
+                       vocab_lo=vocab_lo, vocab_hi=vocab_hi)
         ref_tokens = sorted(r["t"] for r in keys)
         lo, hi = ref_tokens[0], ref_tokens[-1]
         contiguous = ref_tokens == list(range(lo, hi + 1))
-        return cls(df, lo, hi, contiguous, None if contiguous else ref_tokens)
+        return cls(df, lo, hi, contiguous, None if contiguous else ref_tokens,
+                   vocab_lo=vocab_lo, vocab_hi=vocab_hi)
 
     @property
     def partials(self) -> DataFrame:
@@ -145,6 +164,8 @@ def _build_partials(
     contiguous: bool,
     ref_tokens: list[int] | None,
     hash_mod: int | None = None,
+    vocab_lo: int | None = None,
+    vocab_hi: int | None = None,
 ) -> DataFrame:
     span = hi - lo + 1
     # Domain filtering happens in numpy, not the JVM: a codegen'd F.filter
@@ -162,6 +183,8 @@ def _build_partials(
     ref_np = (
         np.asarray(ref_tokens, dtype=np.int64) if ref_tokens is not None else None
     )
+    vlo = np.int64(vocab_lo if vocab_lo is not None else 0)
+    vhi = None if vocab_hi is None else np.int64(vocab_hi)
 
     def gen(batches):
         import pyarrow as pa
@@ -226,6 +249,7 @@ def _build_partials(
             np.cumsum(lengths, out=offsets[1:])
             grp = np.where(row_src_ok, ginv, -1)  # -1 = null-source row
             acc = np.zeros(ng * span1, dtype=np.int64)
+            oov_rows = np.zeros(ng, dtype=np.int64)  # kind 4 accumulator
             CHUNK = 1 << 20
             row = 0
             while row < n:
@@ -236,8 +260,24 @@ def _build_partials(
                 row_end = max(row_end, row + 1)
                 start, end = int(offsets[row]), int(offsets[row_end])
                 g = np.repeat(grp[row:row_end], lengths[row:row_end])
-                row = row_end
                 fl = flat[start:end].astype(np.int64)
+                # ---- kind 4: vocab-bound check on the RAW values (before
+                # any profile-domain hashing); per-row any-OOV via bincount,
+                # null-source rows included (they group under the sentinel)
+                if vhi is not None:
+                    bad_tok = (fl < vlo) | (fl >= vhi)
+                    if bad_tok.any():
+                        nr = row_end - row
+                        rows_local = np.repeat(
+                            np.arange(nr), lengths[row:row_end]
+                        )
+                        hit = (
+                            np.bincount(rows_local[bad_tok], minlength=nr) > 0
+                        )
+                        oov_rows += np.bincount(
+                            ginv[row:row_end][hit], minlength=ng
+                        )
+                row = row_end
                 if hash_mod is not None:
                     fl = hash_token_bucket(fl, hash_mod)
                 rel = fl - lo
@@ -254,6 +294,10 @@ def _build_partials(
             nz = np.nonzero(acc)[0]
             if nz.size:
                 emit(nz // span, KIND_TOKEN, nz % span + lo, acc[nz])
+
+            if vhi is not None and oov_rows.any():
+                nz = np.nonzero(oov_rows)[0]
+                emit(nz, KIND_OOV_ROWS, np.zeros(len(nz)), oov_rows[nz])
 
             # ---- kind 2: len mismatch (n_tok set and != original size) ----
             m2 = valid & (tok_sz >= 0)

@@ -133,7 +133,7 @@ def main() -> int:
 
 north_rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. No real cluster exists in this sandbox; evidence is the full
-validation rule suite (schema, column_stats, uniqueness, referential, drift)
+validation rule suite (schema, column_stats, token_bounds, uniqueness, referential, drift)
 launched via `spark-submit --py-files` in a fresh JVM per measurement, at two
 parallelism levels on the 32-core host. Each number is the MEDIAN of {REPEAT}
 in-JVM runs (run 1 pays JVM/python-worker/codegen startup and this sandbox's

@@ -88,7 +88,8 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
-    assert len(rows) == 25  # 5 parts x 5 rules
+    assert len(rows) == 30  # 5 parts x 6 rules
     assert {r["rule_id"] for r in rows} == {
-        "schema", "column_stats", "uniqueness", "referential", "drift",
+        "schema", "column_stats", "token_bounds", "uniqueness",
+        "referential", "drift",
     }

@@ -247,3 +247,60 @@ def test_incremental_referential_and_uniqueness(spark, tmp_path):
     )
     assert all(m == "skip" for m in r3["modes"].values())
     assert all(m == "skip" for m in u3["modes"].values())
+
+
+def test_incremental_token_bounds_delta_adds(spark, tmp_path):
+    """token_bounds is per-row independent like referential: delta files add
+    delta OOV-row counts to the stored metric; full-run and post-append
+    delta-run both match a fresh batch evaluation; reruns skip."""
+    from lk_data_test_spark.operators import token_bounds
+    from lk_data_test_spark.plans.incremental_stats import (
+        IncrementalTokenBoundsValidator,
+    )
+    from lk_data_test_spark.plans.rules import RuleContext
+
+    d = str(tmp_path / "corpus")
+    cfg = GenConfig(n_parts=5, rows_per_part=1200)
+    generate(spark, d, cfg)
+    table = PartitionedTable(f"{d}/sequences")
+
+    def batch():
+        spark.catalog.clearCache()
+        ctx = RuleContext(spark=spark, part_ids=table.partition_ids())
+        return {
+            int(r["part_id"]): (bool(r["passed"]), float(r["metric"]))
+            for r in token_bounds.evaluate(
+                table.read(spark), ctx
+            ).verdicts.collect()
+        }
+
+    store = str(tmp_path / "tb.json")
+    v1 = IncrementalTokenBoundsValidator(table, store).run(spark)
+    b1 = batch()
+    assert b1[2][0] is False and b1[2][1] == 5.0  # badcol role plants 5
+    for pid in b1:
+        assert v1["parts"][pid]["passed"] == b1[pid][0]
+        assert v1["parts"][pid]["metric"] == b1[pid][1]
+
+    # append 3 rows with OOV tokens into CLEAN part 0 and 2 clean rows
+    # into failing part 2 (metric must stay 5 there, grow to 3 in part 0)
+    spark.createDataFrame(
+        [(f"O{i}", [1, 40000 + i], 2, "cases") for i in range(3)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1).write.mode("append").parquet(f"{d}/sequences/part_id=0")
+    spark.createDataFrame(
+        [(f"C{i}", [1, 2, 3], 3, "cases") for i in range(2)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1).write.mode("append").parquet(f"{d}/sequences/part_id=2")
+
+    v2 = IncrementalTokenBoundsValidator(table, store).run(spark)
+    assert v2["modes"][0] == "delta" and v2["modes"][2] == "delta"
+    b2 = batch()
+    assert b2[0] == (False, 3.0) and b2[2] == (False, 5.0)
+    for pid in b2:
+        assert v2["parts"][pid]["passed"] == b2[pid][0], pid
+        assert v2["parts"][pid]["metric"] == b2[pid][1], pid
+
+    v3 = IncrementalTokenBoundsValidator(table, store).run(spark)
+    assert all(m == "skip" for m in v3["modes"].values())
+    assert v3["parts"][0]["metric"] == 3.0

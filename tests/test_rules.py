@@ -43,6 +43,79 @@ def test_referential(ctx_df):
     assert all(r["detail"].startswith("unknown source: ") for r in v)
 
 
+def test_token_bounds(ctx_df):
+    """badcol parts plant exactly 5 rows with an out-of-vocab first token
+    (3 above vocab, 2 negative). Both screen paths — standalone JVM
+    aggregate and the shared-scan kind-4 partials — must agree exactly."""
+    from lk_data_test_spark.operators import token_bounds
+    from lk_data_test_spark.plans.shared import SharedTokenStats
+
+    ctx, df = ctx_df
+    res = token_bounds.evaluate(df, ctx)  # ctx.shared is None -> JVM path
+    assert _failing(res.verdicts) == EXPECTED["token_bounds"]
+    by_part = {
+        r["part_id"]: r["metric"] for r in res.verdicts.collect()
+    }
+    for pid in EXPECTED["token_bounds"]:
+        assert by_part[pid] == 5.0
+    v = res.violations.collect()
+    assert len(v) == 5 * len(EXPECTED["token_bounds"])
+    assert all(r["rule_id"] == "token_bounds" for r in v)
+    assert all(r["part_id"] in EXPECTED["token_bounds"] for r in v)
+    # each planted row has exactly ONE oov token; 2 of 5 per part negative
+    assert all(r["detail"].startswith("oov=1;") for r in v)
+    neg = [r for r in v if ";min=-" in r["detail"]]
+    assert len(neg) == 2 * len(EXPECTED["token_bounds"])
+
+    shared = SharedTokenStats.from_profiles(
+        df, ctx.reference_profiles,
+        vocab_lo=0, vocab_hi=TEST_CFG.vocab,
+    )
+    shared_ctx = RuleContext(
+        spark=ctx.spark,
+        allowed_sources=ctx.allowed_sources,
+        reference_profiles=ctx.reference_profiles,
+        part_ids=ctx.part_ids,
+        shared=shared,
+    )
+    res2 = token_bounds.evaluate(df, shared_ctx)
+    a = sorted(tuple(r) for r in res.verdicts.collect())
+    b = sorted(tuple(r) for r in res2.verdicts.collect())
+    assert a == b
+    assert sorted(tuple(r) for r in res2.violations.collect()) == sorted(
+        tuple(r) for r in v
+    )
+
+
+def test_token_bounds_shared_scan_mismatched_vocab_falls_back(ctx_df):
+    """A shared scan built for a DIFFERENT vocab bound must not be consumed:
+    the rule falls back to its own JVM screen and still gets the right
+    answer (guards against silently reusing stale kind-4 partials)."""
+    from lk_data_test_spark.operators import token_bounds
+    from lk_data_test_spark.plans.shared import SharedTokenStats
+
+    ctx, df = ctx_df
+    shared = SharedTokenStats.from_profiles(
+        df, ctx.reference_profiles,
+        vocab_lo=0, vocab_hi=TEST_CFG.vocab * 2,  # wrong bound on purpose
+    )
+    shared_ctx = RuleContext(
+        spark=ctx.spark,
+        allowed_sources=ctx.allowed_sources,
+        reference_profiles=ctx.reference_profiles,
+        part_ids=ctx.part_ids,
+        shared=shared,
+        params={"vocab_size": TEST_CFG.vocab},
+    )
+    res = token_bounds.evaluate(df, shared_ctx)
+    assert _failing(res.verdicts) == EXPECTED["token_bounds"]
+    # the stale kind-4 partials (built for 2x vocab) would miss the 3
+    # above-vocab rows and report metric 2.0 — the fallback sees all 5
+    for r in res.verdicts.collect():
+        if r["part_id"] in EXPECTED["token_bounds"]:
+            assert r["metric"] == 5.0
+
+
 def test_column_stats(ctx_df):
     ctx, df = ctx_df
     res = column_stats.evaluate(df, ctx)

@@ -48,7 +48,7 @@ def test_suite_and_resume(spark, corpus_dir, tmp_path):
 
     # verdict table + JSON metrics manifest sinks (S5/S6 analogs)
     vt = spark.read.parquet(os.path.join(str(tmp_path / "out"), "verdicts"))
-    assert vt.count() == TEST_CFG.n_parts * 5
+    assert vt.count() == TEST_CFG.n_parts * 6
     import json
 
     with open(os.path.join(str(tmp_path / "out"), "metrics.json")) as f:
@@ -56,7 +56,8 @@ def test_suite_and_resume(spark, corpus_dir, tmp_path):
     assert m["rows_validated"] == res1.rows_validated
     assert set(m["failed_parts"]) == ALL_FAILING
     assert set(m["rules"]) == {
-        "schema", "column_stats", "uniqueness", "referential", "drift",
+        "schema", "column_stats", "token_bounds", "uniqueness",
+        "referential", "drift",
     }
 
     # rerun: passing partitions skipped, failing replayed
@@ -71,7 +72,7 @@ def test_suite_and_resume(spark, corpus_dir, tmp_path):
     # partitions' verdict rows (dynamic partition overwrite) — previously
     # recorded verdicts for skipped partitions must survive
     vt2 = spark.read.parquet(os.path.join(str(tmp_path / "out"), "verdicts"))
-    assert vt2.count() == TEST_CFG.n_parts * 5
+    assert vt2.count() == TEST_CFG.n_parts * 6
     assert {r["part_id"] for r in vt2.select("part_id").distinct().collect()} == set(
         range(TEST_CFG.n_parts)
     )
@@ -86,7 +87,8 @@ def test_suite_and_resume(spark, corpus_dir, tmp_path):
     e = r2.manifest.entries[str(sorted(ALL_FAILING)[0])]
     assert e["snapshot_id"] and e["files"]
     assert set(e["rule_versions"]) == {
-        "schema", "column_stats", "uniqueness", "referential", "drift",
+        "schema", "column_stats", "token_bounds", "uniqueness",
+        "referential", "drift",
     }
     assert set(e["metrics"]) == set(e["rule_versions"])
 

@@ -34,12 +34,12 @@ def test_stream_validation_matches_batch(spark, corpus_dir, tmp_path):
     q.awaitTermination(600)
 
     all_verdicts = [v for batch in collected.values() for v in batch]
-    assert len(all_verdicts) == TEST_CFG.n_parts * 5  # every part x every rule
+    assert len(all_verdicts) == TEST_CFG.n_parts * 6  # every part x every rule
     failing = {v["part_id"] for v in all_verdicts if not v["passed"]}
     # drift needs >= min_docs per (part, source) group; micro-batches that
     # split a partition across files can fall under it, so drift verdicts may
     # legitimately differ per-batch — check the three row-scoped rules exactly.
-    for rule in ("column_stats", "uniqueness", "referential"):
+    for rule in ("column_stats", "token_bounds", "uniqueness", "referential"):
         got = {
             v["part_id"]
             for v in all_verdicts
