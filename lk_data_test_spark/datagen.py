@@ -60,6 +60,12 @@ class GenConfig:
     ntok_sigma: float = 0.6       # lognormal sigma of n_tok
     ntok_max: int = 8192
     dup_frac: float = 0.05  # must exceed ~3*rsd of the R2 HLL screen
+    # CROSS-partition doc_id collisions (global-uniqueness scope): each
+    # dup-role partition with part_id >= 5 re-uses this fraction of ids from
+    # the PREVIOUS dup-role partition (part_id - 5). 0.0 (the default) keeps
+    # the generated corpus byte-identical to the pre-global-scope generator —
+    # every checked-in golden fixture is under that default.
+    cross_dup_frac: float = 0.0
     badsrc_frac: float = 0.01
     drift_ntok_mult: float = 1.6
     profile_sample: int = 20000   # clean-profile sample size per source
@@ -119,6 +125,23 @@ def _gen_partition(part_id: int, cfg: GenConfig) -> pd.DataFrame:
     if role == "dup":
         d = max(1, int(cfg.dup_frac * n))
         doc_id[n - d:] = doc_id[:d]  # id collisions (R2)
+        if cfg.cross_dup_frac > 0 and part_id >= 5:
+            # ids [d, d+c) of the previous dup-role partition appear exactly
+            # once THERE (its local-dup block is ids [0, d) duplicated into
+            # the tail) — re-using them here creates doc_ids that are unique
+            # within every partition yet duplicated ACROSS partitions, the
+            # case a partition-scoped uniqueness check cannot see. The copies
+            # land in rows [d+c, d+2c) — disjoint from the local-dup
+            # originals [0, d), from the tail copies [n-d, n), AND from this
+            # partition's own source range [d, d+c) (which the NEXT dup
+            # partition may re-use — overwriting it would break the chain
+            # when a partition is both receiver and source). No RNG draws
+            # are consumed, so every other column and role is byte-identical.
+            c = max(1, int(cfg.cross_dup_frac * n))
+            prev = part_id - 5
+            doc_id[d + c: d + 2 * c] = [
+                f"D{prev:04d}-{i:08d}" for i in range(d, d + c)
+            ]
     elif role == "badcol":
         # a handful of rows with null / zero / mismatched n_tok (R1)
         bad = rng.choice(n, size=6, replace=False)
@@ -237,3 +260,27 @@ def expected_failing_parts(cfg: GenConfig) -> dict[str, set[int]]:
         "referential": set(by_role["badsrc"]),
         "drift": set(by_role["drift"]),
     }
+
+
+def expected_global_dup_ids(cfg: GenConfig) -> dict[int, int]:
+    """Analytic GLOBAL-scope uniqueness expectation: part_id -> number of
+    distinct doc_ids in that partition that occur more than once anywhere in
+    the corpus. Derived purely from the injection arithmetic (no generation):
+    a dup-role partition holds ``d`` locally-duplicated ids, plus ``c`` ids
+    shared with the NEXT dup-role partition (it is a cross-dup source), plus
+    ``c`` ids shared with the PREVIOUS one (it is a receiver)."""
+    n = cfg.rows_per_part
+    d = max(1, int(cfg.dup_frac * n))
+    c = max(1, int(cfg.cross_dup_frac * n)) if cfg.cross_dup_frac > 0 else 0
+    out: dict[int, int] = {}
+    for p in range(cfg.n_parts):
+        if part_role(p) != "dup":
+            out[p] = 0
+            continue
+        m = d
+        if c and p >= 5:
+            m += c  # receiver: holds ids of partition p-5
+        if c and p + 5 < cfg.n_parts:
+            m += c  # source: partition p+5 re-uses this partition's ids
+        out[p] = m
+    return out

@@ -2875,6 +2875,80 @@ def validation_suite_verdicts(spark, sf_dir):
     return out.orderBy("rule_id", "part_id")
 
 
+# Global (cross-partition) uniqueness — the case partition scope cannot see:
+# a doc_id duplicated across shards (re-ingested dumps). The oracle is a
+# VALUES literal DERIVED ANALYTICALLY from the injection arithmetic
+# (datagen.expected_global_dup_ids — never captured from engine output):
+#   - metric per dup-role partition = d local dup ids (dup_frac*rows)
+#     + c cross ids received from partition p-5 (cross_dup_frac*rows, p>=5)
+#     + c cross ids its successor p+5 re-uses (when p+5 exists);
+#     with n_parts=10 the dup-role partitions are {1, 6}: part 1 sources 20
+#     ids to part 6, part 6 receives them -> metric 40 = 20 local + 20 cross
+#     on both; every other partition 0.
+#   - detail: dup-role partitions carry a 5% local dup rate > the screen's
+#     3*rsd = 3% band -> locally flagged -> path=exact; the cross excess is
+#     20/4000 = 0.5% < 3% of total rows, so the exact pass stays pruned to
+#     the flagged partitions (which hold ALL injected cross ids) and the
+#     clean partitions' verdicts rest on the sketch screen.
+# tests/test_rules.py re-derives the same rows with a pure-pandas Counter
+# over the generated corpus, independent of both this literal and the engine.
+_GLOBAL_DUP_CFG = dict(n_parts=10, rows_per_part=400, cross_dup_frac=0.05)
+
+
+def _global_dup_values_sql() -> str:
+    from .datagen import GenConfig, expected_global_dup_ids, part_role
+
+    cfg = GenConfig(**_GLOBAL_DUP_CFG)
+    exp = expected_global_dup_ids(cfg)
+    rows = []
+    for pid in range(cfg.n_parts):
+        m = float(exp[pid])
+        flagged = part_role(pid) == "dup"  # 5% local rate > 3*rsd band
+        detail = (
+            "path=exact scope=global" if flagged else "path=screen scope=global"
+        )
+        rows.append(
+            f"({pid}, 'uniqueness', {'FALSE' if m else 'TRUE'}, {m!r}, 0.0, "
+            f"'{detail}')"
+        )
+    body = ",\n      ".join(rows)
+    return f"""
+    SELECT CAST(part_id AS INTEGER) AS part_id, rule_id,
+           CAST(passed AS BOOLEAN) AS passed,
+           CAST(metric AS DOUBLE) AS metric,
+           CAST(threshold AS DOUBLE) AS threshold,
+           CAST(detail AS VARCHAR) AS detail
+    FROM (VALUES
+      {body}
+    ) AS t(part_id, rule_id, passed, metric, threshold, detail)
+    ORDER BY part_id
+    """
+
+
+@query("global_uniqueness_verdicts", _global_dup_values_sql())
+def global_uniqueness_verdicts(spark, sf_dir):
+    """R2 at GLOBAL scope: doc_ids duplicated ACROSS partitions (reference
+    semantics: corpus-wide Counter over keys,
+    /root/reference/curation/check_fackel_references.py:32,55 — the report is
+    keyed on the whole corpus, not per file). One aggregation pass builds
+    per-partition Datasketches HLL sketches; sum(per-part estimates) minus
+    the union-sketch estimate screens for cross-partition ids at zero extra
+    scan cost, and only flagged scopes pay the exact 8-byte-hash group pass
+    (operators/uniqueness.py:_evaluate_global)."""
+    from .datagen import GenConfig, sequences_df
+    from .operators import uniqueness
+    from .plans.rules import RuleContext
+
+    cfg = GenConfig(**_GLOBAL_DUP_CFG)
+    df = sequences_df(spark, cfg).cache()
+    ctx = RuleContext(
+        spark=spark,
+        part_ids=list(range(cfg.n_parts)),
+        params={"uniqueness": {"scope": "global"}},
+    )
+    return uniqueness.evaluate(df, ctx).verdicts.orderBy("part_id")
+
+
 # End-to-end training-data preparation as ONE composed declarative plan —
 # the statement query for "a user can run their whole prep pipeline here":
 # exact dedup (keep lowest doc_id per canonical fingerprint) -> quality

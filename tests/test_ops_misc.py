@@ -423,6 +423,7 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
         "built_reference_profiles",
         "dup_clusters",
         "validation_suite_verdicts",
+        "global_uniqueness_verdicts",
     }
     bad = []
     for name, fn in entry.queries().items():
@@ -458,6 +459,7 @@ def test_no_unbounded_global_window_in_any_registry_plan(spark):
         "built_reference_profiles",
         "dup_clusters",
         "validation_suite_verdicts",
+        "global_uniqueness_verdicts",
     }
     # priority_surrogate_keys: window input is the DISTINCT 5-value priority
     # enum (aggregated before ranking) — bounded by the dimension domain.
@@ -1075,6 +1077,7 @@ def test_no_low_cardinality_only_window_partitions(spark):
         "built_reference_profiles",
         "dup_clusters",
         "validation_suite_verdicts",
+        "global_uniqueness_verdicts",
     }
     # chars_quartiles_by_lang: documented ORACLE-EXACT form; the scale
     # default is chars_quartiles_by_lang_sketch (no window at all)

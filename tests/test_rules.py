@@ -3,6 +3,7 @@ role injects that rule's violation (FIXTURES.md §1, SURVEY.md §7.2)."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from pyspark.sql import functions as F
@@ -146,6 +147,110 @@ def test_uniqueness_screen_and_exact(ctx_df):
     assert {p for p, d in prov.items() if d == "path=exact"} == EXPECTED["uniqueness"]
     assert all(d == "path=screen" for p, d in prov.items()
                if p not in EXPECTED["uniqueness"])
+
+
+def test_uniqueness_global_scope_cross_partition(spark):
+    """Global scope sees doc_ids duplicated ACROSS partitions; partition
+    scope provably misses them. The expectation is re-derived THREE
+    independent ways: the engine, the analytic injection arithmetic
+    (expected_global_dup_ids), and a pure-pandas Counter over the generated
+    corpus (no Spark, no engine code) — the latter also de-circularizes the
+    global_uniqueness_verdicts VALUES oracle in entry_queries."""
+    from collections import Counter
+
+    from lk_data_test_spark.datagen import (
+        GenConfig,
+        _gen_partition,
+        expected_global_dup_ids,
+        sequences_df,
+    )
+
+    cfg = GenConfig(n_parts=10, rows_per_part=400, cross_dup_frac=0.05)
+    df = sequences_df(spark, cfg).cache()
+    ctx = RuleContext(
+        spark=spark,
+        part_ids=list(range(cfg.n_parts)),
+        params={"uniqueness": {"scope": "global"}},
+    )
+    res = uniqueness.evaluate(df, ctx)
+    metrics = {r["part_id"]: r["metric"] for r in res.verdicts.collect()}
+    exp = expected_global_dup_ids(cfg)
+    assert metrics == {p: float(m) for p, m in exp.items()}
+
+    # independent pure-pandas re-derivation (generator output, no engine)
+    frames = [_gen_partition(p, cfg) for p in range(cfg.n_parts)]
+    counts = Counter(pd.concat(frames)["doc_id"])
+    for p, frame in enumerate(frames):
+        n_dup = sum(1 for i in set(frame["doc_id"]) if counts[i] > 1)
+        assert metrics[p] == float(n_dup)
+
+    # the cross ids span 2 partitions and appear in BOTH partitions' rows
+    viol = res.violations.collect()
+    cross = [r for r in viol if "parts=2" in r["detail"]]
+    assert len(cross) == 2 * max(1, int(cfg.cross_dup_frac * cfg.rows_per_part))
+    assert {r["part_id"] for r in cross} == {1, 6}
+
+    # partition scope on the SAME corpus reports only the local dups
+    res_local = uniqueness.evaluate(
+        df, RuleContext(spark=spark, part_ids=list(range(cfg.n_parts)))
+    )
+    assert res_local.violations.count() == len(viol) - len(cross)
+    df.unpersist()
+
+
+def test_uniqueness_global_cross_flag_widens_exact(spark):
+    """When per-partition screens all pass (local dup rate far below 3*rsd)
+    but the cross-partition rate exceeds the band, the union-vs-sum sketch
+    signal must widen the exact pass to the whole table — the branch no
+    partition-local screen can reach."""
+    from lk_data_test_spark.datagen import GenConfig, expected_global_dup_ids, sequences_df
+
+    # d = 1 local dup per dup-part (0.25% — invisible to the 3% screen);
+    # c = 140 cross ids between parts 1 and 6 (excess 140 > 3%*4000 = 120)
+    cfg = GenConfig(
+        n_parts=10, rows_per_part=400, dup_frac=0.0025, cross_dup_frac=0.35
+    )
+    df = sequences_df(spark, cfg).cache()
+    base = RuleContext(spark=spark, part_ids=list(range(cfg.n_parts)))
+    res_local = uniqueness.evaluate(df, base)
+    # partition scope: every screen passes, nothing reported
+    assert _failing(res_local.verdicts) == set()
+    assert res_local.violations.count() == 0
+
+    ctx = RuleContext(
+        spark=spark,
+        part_ids=list(range(cfg.n_parts)),
+        params={"uniqueness": {"scope": "global"}},
+    )
+    res = uniqueness.evaluate(df, ctx)
+    verdicts = res.verdicts.collect()
+    # cross widening: EVERY partition's verdict comes from the exact path
+    assert all(r["detail"] == "path=exact scope=global" for r in verdicts)
+    exp = expected_global_dup_ids(cfg)
+    assert {r["part_id"]: r["metric"] for r in verdicts} == {
+        p: float(m) for p, m in exp.items()
+    }
+    assert _failing(res.verdicts) == {1, 6}
+    df.unpersist()
+
+
+def test_uniqueness_global_matches_partition_scope_without_cross_dups(ctx_df):
+    """On the default corpus (cross_dup_frac=0) global scope must fail the
+    same partitions with the same metrics as partition scope."""
+    ctx, df = ctx_df
+    g = uniqueness.evaluate(
+        df,
+        RuleContext(
+            spark=ctx.spark,
+            part_ids=ctx.part_ids,
+            params={"uniqueness": {"scope": "global"}},
+        ),
+    )
+    base = uniqueness.evaluate(df, ctx)
+    gm = {r["part_id"]: r["metric"] for r in g.verdicts.collect()}
+    bm = {r["part_id"]: r["metric"] for r in base.verdicts.collect()}
+    assert gm == bm
+    assert _failing(g.verdicts) == EXPECTED["uniqueness"]
 
 
 def test_uniqueness_always_exact_matches_screen(ctx_df):
