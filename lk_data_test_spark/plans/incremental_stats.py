@@ -50,7 +50,9 @@ is (or has) a mergeable form:
     count adds; only a partition the MERGED screen flags pays the exact
     cross-file hash-group pass (duplicates can straddle old and new files,
     so no delta-only exact check is sound — the screen's job is making the
-    full pass rare).
+    full pass rare). scope="global" adds the cross-partition screen
+    (sum of per-partition estimates vs the union of EVERY stored sketch)
+    with no scan at all on skip/delta runs.
   - schema is metadata-only per file; the batch rule is already O(1).
 """
 
@@ -543,16 +545,27 @@ class IncrementalUniquenessValidator:
     failure-replay semantics (validated partitions skip, failures replay).
     lgConfigK=14 gives the sketch ~0.8% relative error, inside the rsd=0.01
     band.
+
+    scope="global" (cross-partition duplicates) is where the stored sketches
+    pay twice: the global screen — sum(per-partition estimates) minus the
+    estimate of the UNION of every stored sketch — needs NO scan at all on a
+    skip/delta run, because the old partitions' sketches come from the store.
+    An append to one partition that duplicates ids already living in another
+    (untouched, mode=skip) partition flips the cross signal and triggers the
+    exact global hash-group pass over the whole table — the one case where a
+    skip partition's verdict can change without its files changing, which is
+    precisely the point of the global scope.
     """
 
     def __init__(
         self, table: PartitionedTable, store_path: str, rsd: float = 0.01,
-        lg_config_k: int = 14,
+        lg_config_k: int = 14, scope: str = "partition",
     ):
         self.table = table
         self.store_path = store_path
         self.rsd = rsd
         self.lg_k = lg_config_k
+        self.scope = scope
         self.entries: dict[str, dict] = {}
         if os.path.exists(store_path):
             with open(store_path) as f:
@@ -636,6 +649,55 @@ class IncrementalUniquenessValidator:
             for pid, (n, sk) in state.items()
             if sk and n > 0 and ests[pid][1] < n * (1.0 - 3.0 * self.rsd)
         ]
+        if self.scope == "global":
+            from ..operators.uniqueness import global_duplicate_doc_ids
+
+            # cross screen: union EVERY stored sketch (no scan — one tiny
+            # driver-submitted job over n_parts serialized sketches)
+            total = sum(n for n, _ in state.values())
+            sum_est = sum(ests[pid][1] for pid in ests)
+            all_sks = [sk for _, sk in state.values() if sk]
+            union_est = 0
+            if all_sks:
+                union_est = self._union_sketches(spark, {-1: all_sks})[-1][1]
+            cross = (sum_est - union_est) > 3.0 * self.rsd * total
+            exact_pids = sorted(state) if cross else flagged
+            dup_counts = {}
+            if exact_pids:
+                dups = global_duplicate_doc_ids(
+                    self.table.read_partitions(spark, exact_pids)
+                )
+                for r in (
+                    dups.groupBy("part_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                ):
+                    dup_counts[int(r["part_id"])] = int(r["n"])
+            for pid, res in results.items():
+                exact = pid in exact_pids
+                metric = float(dup_counts.get(pid, 0)) if exact else 0.0
+                res["metric"] = metric
+                res["passed"] = metric == 0.0
+                res["detail"] = (
+                    "path=exact scope=global"
+                    if exact
+                    else "path=screen scope=global"
+                )
+                if res["mode"] != "skip":
+                    n, sk = state[pid]
+                    self.entries[str(pid)] = {
+                        "files": _part_files(self.table, pid),
+                        "n_rows": n,
+                        "sketch_b64": base64.b64encode(sk).decode(),
+                    }
+            self._save()
+            return {
+                "parts": results,
+                "modes": {
+                    pid: r["mode"] for pid, r in sorted(results.items())
+                },
+            }
+
         dup_counts: dict[int, int] = {}
         if flagged:
             dups = duplicate_doc_ids(

@@ -249,6 +249,78 @@ def test_incremental_referential_and_uniqueness(spark, tmp_path):
     assert all(m == "skip" for m in u3["modes"].values())
 
 
+def test_incremental_uniqueness_global_cross_partition_append(spark, tmp_path):
+    """scope=global: an append into part 0 that re-uses doc_ids already
+    living in UNTOUCHED part 1 must flip part 1's verdict even though part 1
+    is mode=skip (its sketch comes from the store, no scan) — the cross
+    signal comes entirely from union-vs-sum over stored sketches. Local
+    screens stay silent (the appended ids are unique within part 0), so only
+    the global scope can catch this."""
+    from lk_data_test_spark.plans.incremental_stats import (
+        IncrementalUniquenessValidator,
+    )
+
+    d = str(tmp_path / "corpus")
+    # parts 0 and 5 are clean-role; dup-role part 1 gets d=1 local dup
+    # (0.25% — beneath every screen's resolution, so the first run passes)
+    cfg = GenConfig(n_parts=6, rows_per_part=400, dup_frac=0.0025)
+    generate(spark, d, cfg)
+    table = PartitionedTable(f"{d}/sequences")
+    store = str(tmp_path / "uniq_global.json")
+
+    u1 = IncrementalUniquenessValidator(table, store, scope="global").run(spark)
+    # dup-role part 1 has d=1 local dup — beneath every screen's resolution;
+    # all partitions pass on the sketch screen
+    assert all(r["passed"] for r in u1["parts"].values())
+    assert all(
+        r["detail"] == "path=screen scope=global" for r in u1["parts"].values()
+    )
+
+    # append 120 rows into part 0 duplicating part 5's ids (rows 200..319:
+    # outside part 5's local-dup block). 120 cross ids > 3%*(2400+120) = 76
+    rows = [
+        (f"D0005-{i:08d}", [1, 2], 2, "cases") for i in range(200, 320)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    ).coalesce(1).write.mode("append").parquet(f"{d}/sequences/part_id=0")
+
+    u2 = IncrementalUniquenessValidator(table, store, scope="global").run(spark)
+    assert u2["modes"][0] == "delta"
+    assert all(m == "skip" for p, m in u2["modes"].items() if p != 0)
+    # the cross signal widens the exact pass to every partition
+    assert all(
+        r["detail"] == "path=exact scope=global" for r in u2["parts"].values()
+    )
+    # part 0 (received copies) and part 5 (skip — owns the originals) fail
+    assert u2["parts"][0]["passed"] is False
+    assert u2["parts"][0]["metric"] == 120.0
+    assert u2["parts"][5]["passed"] is False
+    assert u2["parts"][5]["metric"] == 120.0
+    # part 1's single local dup surfaces too (exact pass is global now)
+    assert u2["parts"][1]["metric"] == 1.0
+    for pid in (2, 3, 4):
+        assert u2["parts"][pid]["passed"] is True, pid
+
+    # matches a fresh batch evaluation at global scope
+    from lk_data_test_spark.operators import uniqueness
+    from lk_data_test_spark.plans.rules import RuleContext
+
+    spark.catalog.clearCache()
+    ctx = RuleContext(
+        spark=spark,
+        part_ids=table.partition_ids(),
+        params={"uniqueness": {"scope": "global"}},
+    )
+    batch = {
+        int(r["part_id"]): (bool(r["passed"]), float(r["metric"]))
+        for r in uniqueness.evaluate(table.read(spark), ctx).verdicts.collect()
+    }
+    for pid, res in u2["parts"].items():
+        assert res["passed"] == batch[pid][0], pid
+        assert res["metric"] == batch[pid][1], pid
+
+
 def test_incremental_token_bounds_delta_adds(spark, tmp_path):
     """token_bounds is per-row independent like referential: delta files add
     delta OOV-row counts to the stored metric; full-run and post-append
