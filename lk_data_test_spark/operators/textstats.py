@@ -171,3 +171,75 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
         ).alias("clean_text"),
     )
+
+
+def lm_bigram_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram-LM fluency scoring (CCNet-style quality filter, log-free).
+
+    CCNet/Gopher-class pipelines bucket documents by language-model
+    perplexity; this is that filter with the LM trained on the corpus
+    itself in the same job: two hash aggregations build the bigram and
+    context count tables, and each document is scored by the mean
+    conditional probability of its word transitions. Gibberish, OCR noise
+    and boilerplate-free spam sit in the low tail (their transitions are
+    corpus-rare); templated boilerplate sits in the extreme high tail.
+
+    Determinism contract (the repo-wide oracle rule): no ``ln()`` — libm
+    differs across engines — and no float accumulation. Each transition's
+    conditional probability is fixed-point ``(c_bigram * 1e6) div
+    c_context`` (exact integer), per-doc aggregation sums integers, and the
+    final score is the same two IEEE double divisions on both engines.
+
+    Scale shape (100 TB): bigram extraction is a map-only array transform
+    (no shuffle, no window); the count tables are bounded by the observed
+    bigram vocabulary, not the corpus; scoring re-joins occurrences to
+    counts on the bigram key — hot heads ("of the") are exactly the AQE
+    skew-join case, and a ``min_count`` prune keeps the table dense.
+    Reference analog: the match-scoring enrichment that ranks candidate
+    matches by string-agreement counts
+    (``/root/reference/scripts/enrich_fackel_bibls.py:77-96``).
+
+    Output: (doc_id, n_bigrams, n_novel, novel_rate, lm_score) — one row
+    per document with at least one bigram. ``n_novel`` counts transitions
+    seen nowhere else in the corpus; ``novel_rate`` near 1.0 is the
+    gibberish signal, ``lm_score`` is mean P(w2|w1) in [0, 1].
+    """
+    ws = F.split(F.trim(F.col(text_col)), " ")
+    bg = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws)-1),"
+                    " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    cc = cb.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cc, "w1")
+        .select(
+            "doc_id",
+            "c_bg",
+            F.expr("(c_bg * 1000000L) div c_ctx").alias("p_fp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("c_bg") == 1, 1).otherwise(0)).alias("n_novel"),
+        (
+            F.sum(F.when(F.col("c_bg") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("novel_rate"),
+        (
+            F.sum("p_fp").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("lm_score"),
+    )

@@ -1130,3 +1130,25 @@ def test_no_low_cardinality_only_window_partitions(spark):
                 bad.append((name, sorted(keys)))
                 break
     assert not bad, f"low-cardinality-only window partitions in: {bad}"
+
+
+def test_lm_bigram_scores_hand_derived(spark):
+    """lm_bigram_scores: fixed-point conditional probabilities match the
+    hand-computed bigram LM exactly. Corpus: 'a b' x2 + 'a c' gives
+    c(a,b)=2, c(a,c)=1, ctx(a)=3 -> the repeated docs score 2/3 with no
+    novel transitions; the odd doc scores 1/3 and every transition novel.
+    One-word docs have no bigrams and drop out."""
+    from lk_data_test_spark.operators.textstats import lm_bigram_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_bigram_scores(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    for d in (1, 2):
+        assert rows[d]["n_bigrams"] == 1 and rows[d]["n_novel"] == 0
+        assert rows[d]["lm_score"] == 666666 / 1_000_000
+        assert rows[d]["novel_rate"] == 0.0
+    assert rows[3]["n_novel"] == 1 and rows[3]["novel_rate"] == 1.0
+    assert rows[3]["lm_score"] == 333333 / 1_000_000
