@@ -1792,6 +1792,49 @@ def benchmark_contamination(spark, sf_dir):
     )
 
 
+# Substring-level dedup (Lee et al. 2022): maximal cross-document duplicated
+# token spans — what a substring deduper cuts before training. See
+# operators/dedup.py::dup_token_spans for the scale shape (map-only gram
+# extraction, 8-byte hash shuffle keys, doc_id-partitioned islands window).
+@query(
+    "dup_token_spans",
+    """
+    WITH ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+                FROM documents),
+    g0 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)-8+2),
+             i -> struct_pack(pos := i-1,
+                    gram := list_aggregate(w[i:i+7], 'string_agg', ' '))))
+             AS b
+      FROM ws WHERE len(w) >= 8),
+    g AS (SELECT doc_id, CAST(b.pos AS INT) AS pos,
+                 ('0x' || substr(md5(b.gram), 1, 15))::BIGINT AS gh
+          FROM g0),
+    sh AS (SELECT gh FROM g GROUP BY gh
+           HAVING count(DISTINCT doc_id) >= 2),
+    f AS (SELECT doc_id, pos FROM g JOIN sh USING (gh)),
+    i1 AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER win IS NULL
+                    OR pos - lag(pos) OVER win > 8 THEN 1 ELSE 0 END AS brk
+           FROM f WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    i2 AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl
+           FROM i1)
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 7 AS INT) AS span_end,
+           CAST(max(pos) - min(pos) + 8 AS INT) AS span_tokens
+    FROM i2 GROUP BY doc_id, isl
+    ORDER BY doc_id, span_start
+    """,
+)
+def dup_token_spans(spark, sf_dir):
+    return dedup.dup_token_spans(
+        _t(spark, sf_dir, "documents"), w=8
+    ).orderBy("doc_id", "span_start")
+
+
 # TF-IDF-style salient terms: rank each doc's words by (tf / df) — the
 # log-free formulation keeps the score a single IEEE double division, which
 # is bit-identical across engines (ln() is libm-dependent and is not).

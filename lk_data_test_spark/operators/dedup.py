@@ -497,3 +497,81 @@ def semantic_dup_pairs(
         .dropDuplicates(["vec_a", "vec_b"])
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dup_token_spans(docs: DataFrame, w: int = 8) -> DataFrame:
+    """Cross-document duplicated token spans (exact substring dedup, the
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" operator): for every document, the maximal word-position spans
+    whose every length-``w`` window also occurs in at least one OTHER
+    document — the spans a substring-level deduper would cut before
+    training, catching shared boilerplate/quotes that document-level
+    near-dup (Jaccard/MinHash above) never flags.
+
+    Plan: (1) map-only stride-1 w-gram extraction per document (array
+    transform, no shuffle); (2) one hash aggregation counts distinct
+    documents per gram — keyed on the portable md5-derived 60-bit integer,
+    so the shuffle carries 8-byte keys, never gram text; (3) grams seen in
+    >=2 docs rejoin their positions (equi-join on the hash — hot boilerplate
+    grams are the AQE skew-join case); (4) flagged positions merge into
+    maximal spans with one gaps-and-islands window PARTITIONED BY doc_id —
+    high-cardinality, scale-safe (all w-windows share length, so interval
+    ends are monotone in start and the lag(pos) > w break test is exact).
+    Reference analog: the containment-match counting that flags text ranges
+    mentioned by more than one source
+    (/root/reference/scripts/archiv/fackel_text_matches.py:26-39).
+
+    Output: (doc_id, span_start, span_end, span_tokens), word positions
+    0-based inclusive.
+    """
+    ws = F.split(F.trim(F.col("text")), " ")
+    grams = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ws)-{w}), i ->"
+                    f" struct(i AS pos, concat_ws(' ', slice(ws, i+1, {w}))"
+                    " AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            F.conv(F.substring(F.md5(F.col("g.gram")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gh"),
+        )
+    )
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    flagged = grams.join(shared, "gh").select("doc_id", "pos")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(win).isNull()
+        | ((F.col("pos") - F.lag("pos").over(win)) > w),
+        1,
+    ).otherwise(0)
+    isl = F.sum("brk").over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("brk", brk)
+        .withColumn("isl", isl)
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + w - 1).cast("int").alias("span_end"),
+            (F.max("pos") - F.min("pos") + w).cast("int").alias(
+                "span_tokens"
+            ),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )

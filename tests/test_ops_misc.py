@@ -1152,3 +1152,30 @@ def test_lm_bigram_scores_hand_derived(spark):
         assert rows[d]["novel_rate"] == 0.0
     assert rows[3]["n_novel"] == 1 and rows[3]["novel_rate"] == 1.0
     assert rows[3]["lm_score"] == 333333 / 1_000_000
+
+
+def test_dup_token_spans_merges_islands(spark):
+    """dup_token_spans: windows shared across docs merge into maximal spans;
+    disjoint shared regions stay separate islands; doc-unique text emits
+    nothing. w=3; 'a b c d e' is shared so positions 0-2 merge into one
+    5-token span."""
+    from lk_data_test_spark.operators.dedup import dup_token_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e x1 y1 z1"),
+            (2, "q a b c d e r s"),
+            (3, "a b c m1 m2 m3 n1 n2 n3 c d e"),
+            (4, "totally unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"]): r
+        for r in dup_token_spans(df, w=3).collect()
+    }
+    assert set(spans) == {(1, 0), (2, 1), (3, 0), (3, 9)}
+    assert spans[(1, 0)]["span_end"] == 4 and spans[(1, 0)]["span_tokens"] == 5
+    assert spans[(2, 1)]["span_end"] == 5 and spans[(2, 1)]["span_tokens"] == 5
+    assert spans[(3, 0)]["span_tokens"] == 3
+    assert spans[(3, 9)]["span_end"] == 11 and spans[(3, 9)]["span_tokens"] == 3
