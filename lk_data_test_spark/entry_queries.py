@@ -3558,6 +3558,80 @@ def corpus_health_report(spark, sf_dir):
     )
 
 
+# Constraint suggestion (operators/suggest.py): ONE aggregation pass
+# profiles every column (completeness, distinctness, numeric range), a
+# second pass collects value domains ONLY for measured-low-cardinality
+# string columns — the Deequ-style bootstrap for pointing the validation
+# engine at an unfamiliar corpus. exact=True here for oracle parity; the
+# 10^12-row default is approx_count_distinct (HLL), asserted equivalent at
+# test scale in tests/test_ops_misc.py.
+@query(
+    "suggested_constraints",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+        count(doc_id) AS nn_doc, count(DISTINCT doc_id) AS d_doc,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        count(text) AS nn_text, count(DISTINCT text) AS d_text,
+        count(lang) AS nn_lang, count(DISTINCT lang) AS d_lang,
+        count(source) AS nn_src, count(DISTINCT source) AS d_src,
+        count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS d_nc,
+        min(n_chars) AS min_nc, max(n_chars) AS max_nc
+      FROM documents)
+    SELECT col_name, constraint_kind, suggested_value, support FROM (
+      SELECT 'doc_id' AS col_name, 'not_null' AS constraint_kind,
+             '' AS suggested_value, 1.0 AS support
+      FROM s WHERE nn_doc = n AND n > 0
+      UNION ALL SELECT 'doc_id', 'unique', '', CAST(d_doc AS DOUBLE)/nn_doc
+      FROM s WHERE nn_doc > 0 AND CAST(d_doc AS DOUBLE)/nn_doc >= 0.99
+      UNION ALL SELECT 'doc_id', 'min_ge', CAST(min_doc AS VARCHAR), 1.0
+      FROM s WHERE nn_doc > 0
+      UNION ALL SELECT 'doc_id', 'max_le', CAST(max_doc AS VARCHAR), 1.0
+      FROM s WHERE nn_doc > 0
+      UNION ALL SELECT 'text', 'not_null', '', 1.0
+      FROM s WHERE nn_text = n AND n > 0
+      UNION ALL SELECT 'text', 'unique', '', CAST(d_text AS DOUBLE)/nn_text
+      FROM s WHERE nn_text > 0 AND CAST(d_text AS DOUBLE)/nn_text >= 0.99
+      UNION ALL SELECT 'lang', 'not_null', '', 1.0
+      FROM s WHERE nn_lang = n AND n > 0
+      UNION ALL SELECT 'lang', 'unique', '', CAST(d_lang AS DOUBLE)/nn_lang
+      FROM s WHERE nn_lang > 0 AND CAST(d_lang AS DOUBLE)/nn_lang >= 0.99
+      UNION ALL SELECT 'lang', 'is_in',
+        (SELECT string_agg(v, ',' ORDER BY v)
+         FROM (SELECT DISTINCT lang AS v FROM documents
+               WHERE lang IS NOT NULL)), 1.0
+      FROM s WHERE d_lang BETWEEN 1 AND 32
+      UNION ALL SELECT 'source', 'not_null', '', 1.0
+      FROM s WHERE nn_src = n AND n > 0
+      UNION ALL SELECT 'source', 'unique', '', CAST(d_src AS DOUBLE)/nn_src
+      FROM s WHERE nn_src > 0 AND CAST(d_src AS DOUBLE)/nn_src >= 0.99
+      UNION ALL SELECT 'source', 'is_in',
+        (SELECT string_agg(v, ',' ORDER BY v)
+         FROM (SELECT DISTINCT source AS v FROM documents
+               WHERE source IS NOT NULL)), 1.0
+      FROM s WHERE d_src BETWEEN 1 AND 32
+      UNION ALL SELECT 'n_chars', 'not_null', '', 1.0
+      FROM s WHERE nn_nc = n AND n > 0
+      UNION ALL SELECT 'n_chars', 'unique', '', CAST(d_nc AS DOUBLE)/nn_nc
+      FROM s WHERE nn_nc > 0 AND CAST(d_nc AS DOUBLE)/nn_nc >= 0.99
+      UNION ALL SELECT 'n_chars', 'min_ge', CAST(min_nc AS VARCHAR), 1.0
+      FROM s WHERE nn_nc > 0
+      UNION ALL SELECT 'n_chars', 'max_le', CAST(max_nc AS VARCHAR), 1.0
+      FROM s WHERE nn_nc > 0
+    ) ORDER BY col_name, constraint_kind
+    """,
+)
+def suggested_constraints(spark, sf_dir):
+    from .operators.suggest import suggest_constraints
+
+    d = _t(spark, sf_dir, "documents")
+    return suggest_constraints(
+        d,
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+        exact=True,
+    )
+
+
 # ===========================================================================
 # Driver-gate ordering. The driver's CORRECTNESS gate records only the FIRST
 # 50 registry entries in iteration order, so the registry is explicitly
@@ -3591,7 +3665,10 @@ def corpus_health_report(spark, sf_dir):
 #       user_rolling_value, source_vocab_overlap, chars_quartiles pair,
 #       source_lang_map, props_variant_stats, embedding_topk/dup_pairs,
 #       simhash_near_dups, sketch quantiles) against the r4 ins that prove
-#       stable, keeping the per-family exemplar constraint.
+#       stable, keeping the per-family exemplar constraint; plus the
+#       round-4-late additions (suggested_constraints, dup_token_spans,
+#       doc_lm_scores, semantic_dedup_pairs) once they have an
+#       oracle-self-gate round behind them.
 # ===========================================================================
 
 GATED_ORDER = [

@@ -57,6 +57,10 @@ class CheckpointManifest:
                 out.append(pid)
         return sorted(out)
 
+    # history depth per partition: enough for a robust median/MAD baseline
+    # (plans/anomaly.py) without the manifest growing unboundedly with reruns
+    HISTORY_MAX = 32
+
     def record(
         self,
         part_id: int,
@@ -66,6 +70,8 @@ class CheckpointManifest:
         metrics: dict[str, float],
         verdict: str,
     ) -> None:
+        now = datetime.now(timezone.utc).isoformat()
+        prev_hist = self.entries.get(str(part_id), {}).get("history", [])
         self.entries[str(part_id)] = {
             "part_id": part_id,
             "snapshot_id": snapshot_id,
@@ -73,5 +79,20 @@ class CheckpointManifest:
             "rule_versions": {r.rule_id: r.version for r in rules},
             "metrics": metrics,
             "verdict": verdict,
-            "completed_at": datetime.now(timezone.utc).isoformat(),
+            "completed_at": now,
+            # append-only per-run metric series (bounded), the input to
+            # anomaly detection: a partition can pass every threshold while
+            # drifting far from ITS OWN history — that series is the only
+            # place such slow corruption is visible
+            "history": (
+                prev_hist
+                + [
+                    {
+                        "metrics": dict(metrics),
+                        "verdict": verdict,
+                        "snapshot_id": snapshot_id,
+                        "completed_at": now,
+                    }
+                ]
+            )[-self.HISTORY_MAX:],
         }

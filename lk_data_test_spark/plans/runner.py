@@ -251,6 +251,17 @@ class ValidationRunner:
             extras={"rule_secs": rule_secs},
         )
 
+    def anomaly_report(
+        self, k: float = 4.0, min_history: int = 4
+    ) -> DataFrame:
+        """Score each partition's latest per-rule metrics against its own
+        manifest history (plans/anomaly.py): catches slow corruption that
+        stays inside every static threshold. One row per (part_id, rule_id)
+        with a robust z-score and an ``anomalous`` flag."""
+        from .anomaly import detect
+
+        return detect(self.spark, self.manifest, k=k, min_history=min_history)
+
 
 def _union_all(frames: list[DataFrame]) -> DataFrame:
     out = frames[0]

@@ -1179,3 +1179,60 @@ def test_dup_token_spans_merges_islands(spark):
     assert spans[(2, 1)]["span_end"] == 5 and spans[(2, 1)]["span_tokens"] == 5
     assert spans[(3, 0)]["span_tokens"] == 3
     assert spans[(3, 9)]["span_end"] == 11 and spans[(3, 9)]["span_tokens"] == 3
+
+
+def test_suggest_constraints_branches(spark):
+    """suggest.py: every constraint kind fires from the right profile shape —
+    nullable column gets no not_null, low-distinctness no unique, bounded
+    string domain gets a sorted is_in, numerics get min_ge/max_le."""
+    from lk_data_test_spark.operators.suggest import suggest_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, "b", None, 10),
+            (2, "a", "x", 20),
+            (3, "a", "y", 20),
+            (4, "c", "z", 30),
+        ],
+        "id long, cat string, maybe string, val int",
+    )
+    rows = {
+        (r["col_name"], r["constraint_kind"]): r
+        for r in suggest_constraints(df, exact=True).collect()
+    }
+    assert rows[("id", "unique")]["support"] == 1.0
+    assert ("cat", "unique") not in rows  # 3 distinct / 4 rows < 0.99
+    assert rows[("cat", "is_in")]["suggested_value"] == "a,b,c"
+    assert ("maybe", "not_null") not in rows  # has a null
+    assert rows[("maybe", "is_in")]["suggested_value"] == "x,y,z"
+    assert rows[("id", "min_ge")]["suggested_value"] == "1"
+    assert rows[("val", "max_le")]["suggested_value"] == "30"
+    # high-cardinality string columns never reach the domain-collect pass
+    wide = spark.createDataFrame(
+        [(i, f"v{i:05d}") for i in range(100)], "id long, s string"
+    )
+    kinds = {
+        (r["col_name"], r["constraint_kind"])
+        for r in suggest_constraints(wide, exact=True, low_card_max=32).collect()
+    }
+    assert ("s", "is_in") not in kinds and ("s", "unique") in kinds
+
+
+def test_suggest_constraints_approx_agrees(spark):
+    """The HLL scale path (exact=False) must yield the same SUGGESTIONS as
+    the exact path on the bench tables: approx mode widens acceptance bands
+    by 3*APPROX_RSD (suggest.py), so a 3-sigma sketch error cannot flip a
+    branch when true distinctness is either ~1.0 or <=0.63 as here."""
+    from lk_data_test_spark.operators.suggest import suggest_constraints
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    exact = {
+        (r["col_name"], r["constraint_kind"], r["suggested_value"])
+        for r in suggest_constraints(d, cols, exact=True).collect()
+    }
+    approx = {
+        (r["col_name"], r["constraint_kind"], r["suggested_value"])
+        for r in suggest_constraints(d, cols, exact=False).collect()
+    }
+    assert exact == approx
