@@ -89,6 +89,28 @@ def main(argv: list[str] | None = None) -> int:
         "unchanged partitions scan nothing; rewrites fall back to full",
     )
     ap.add_argument(
+        "--suggest-from-parts",
+        default=None,
+        metavar="PARTS",
+        help="comma-separated part_ids of a vetted snapshot: profile them "
+        "(operators/suggest.py), accept the enforceable suggestions, and run "
+        "the suite with the resulting generic constraints rule appended to "
+        "the hand-built rules (operators/constraints.py)",
+    )
+    ap.add_argument(
+        "--anomaly-report",
+        action="store_true",
+        help="instead of validating, score each partition's latest per-rule "
+        "metrics against its own manifest history (plans/anomaly.py robust "
+        "z-score) and print the anomalous rows as JSON",
+    )
+    ap.add_argument(
+        "--anomaly-k",
+        type=float,
+        default=4.0,
+        help="robust-z threshold for --anomaly-report (default 4.0)",
+    )
+    ap.add_argument(
         "--repeat",
         type=int,
         default=1,
@@ -239,6 +261,48 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out))
         return 0
 
+    if args.anomaly_report:
+        runner = ValidationRunner(
+            spark,
+            PartitionedTable(seq_path),
+            allowed_sources=spark.read.parquet(
+                os.path.join(args.data_dir, "allowed_sources")
+            ),
+            reference_profiles=spark.read.parquet(
+                os.path.join(args.data_dir, "reference_profiles")
+            ),
+        )
+        rep = runner.anomaly_report(k=args.anomaly_k)
+        rows = [r.asDict() for r in rep.filter("anomalous").collect()]
+        print(
+            json.dumps(
+                {
+                    "anomalous": rows,
+                    "k": args.anomaly_k,
+                    "scored_groups": rep.count(),
+                }
+            )
+        )
+        return 0
+
+    rules = None
+    if args.suggest_from_parts:
+        from lk_data_test_spark.operators import constraints as _C
+        from lk_data_test_spark.operators.suggest import suggest_constraints
+        from lk_data_test_spark.plans.rules import default_rules
+
+        vetted = [int(p) for p in args.suggest_from_parts.split(",")]
+        ref = PartitionedTable(seq_path).read_partitions(spark, vetted)
+        cons = _C.from_suggestions(
+            suggest_constraints(ref, columns=["n_tok", "source"])
+        )
+        print(
+            f"  suggested {len(cons)} constraints from parts {vetted}: "
+            + ", ".join(c.constraint_id for c in cons),
+            file=sys.stderr,
+        )
+        rules = default_rules() + [_C.constraint_rule(cons)]
+
     runner = ValidationRunner(
         spark,
         PartitionedTable(seq_path, tolerate_corrupt=args.ignore_corrupt_files),
@@ -248,6 +312,7 @@ def main(argv: list[str] | None = None) -> int:
         reference_profiles=spark.read.parquet(
             os.path.join(args.data_dir, "reference_profiles")
         ),
+        rules=rules,
         output_dir=os.path.join(args.data_dir, "validation_out"),
         params=json.loads(args.params) if args.params else None,
     )

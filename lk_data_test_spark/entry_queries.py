@@ -3632,6 +3632,77 @@ def suggested_constraints(spark, sf_dir):
     )
 
 
+# The full Deequ-style loop: profile a trusted reference slice (4 named
+# sources), accept its suggestions, enforce them corpus-wide — one grouped
+# aggregate emits every (source, constraint) verdict. The oracle mirrors
+# BOTH stages in SQL: the `cons` CTE reproduces the suggester's emission
+# conditions (not_null iff zero nulls, is_in iff 0<distinct<=32, range iff a
+# numeric min exists; `unique` is never enforced — from_suggestions skips
+# it), the outer aggregate reproduces the null-safe violation predicates.
+@query(
+    "constraint_suggest_enforce",
+    """
+    WITH ref AS (
+      SELECT lang, n_chars FROM documents
+      WHERE source IN ('src0','src1','src2','src3')),
+    prof AS (
+      SELECT count(*) AS n, count(lang) AS nn_lang,
+             count(DISTINCT lang) AS d_lang, count(n_chars) AS nn_nc,
+             min(n_chars) AS mn, max(n_chars) AS mx
+      FROM ref),
+    cons AS (
+      SELECT 'is_in:lang' AS constraint_id FROM prof
+      WHERE d_lang BETWEEN 1 AND 32
+      UNION ALL SELECT 'not_null:lang' FROM prof WHERE n > 0 AND nn_lang = n
+      UNION ALL SELECT 'max_le:n_chars' FROM prof WHERE mx IS NOT NULL
+      UNION ALL SELECT 'min_ge:n_chars' FROM prof WHERE mn IS NOT NULL
+      UNION ALL SELECT 'not_null:n_chars' FROM prof WHERE n > 0 AND nn_nc = n)
+    SELECT d.source AS group_key, c.constraint_id,
+           CAST(sum(CASE c.constraint_id
+             WHEN 'is_in:lang' THEN CASE WHEN d.lang IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM ref r WHERE r.lang = d.lang)
+               THEN 1 ELSE 0 END
+             WHEN 'not_null:lang' THEN
+               CASE WHEN d.lang IS NULL THEN 1 ELSE 0 END
+             WHEN 'min_ge:n_chars' THEN CASE WHEN d.n_chars IS NOT NULL
+               AND d.n_chars < p.mn THEN 1 ELSE 0 END
+             WHEN 'max_le:n_chars' THEN CASE WHEN d.n_chars IS NOT NULL
+               AND d.n_chars > p.mx THEN 1 ELSE 0 END
+             WHEN 'not_null:n_chars' THEN
+               CASE WHEN d.n_chars IS NULL THEN 1 ELSE 0 END
+           END) AS BIGINT) AS n_violations,
+           sum(CASE c.constraint_id
+             WHEN 'is_in:lang' THEN CASE WHEN d.lang IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM ref r WHERE r.lang = d.lang)
+               THEN 1 ELSE 0 END
+             WHEN 'not_null:lang' THEN
+               CASE WHEN d.lang IS NULL THEN 1 ELSE 0 END
+             WHEN 'min_ge:n_chars' THEN CASE WHEN d.n_chars IS NOT NULL
+               AND d.n_chars < p.mn THEN 1 ELSE 0 END
+             WHEN 'max_le:n_chars' THEN CASE WHEN d.n_chars IS NOT NULL
+               AND d.n_chars > p.mx THEN 1 ELSE 0 END
+             WHEN 'not_null:n_chars' THEN
+               CASE WHEN d.n_chars IS NULL THEN 1 ELSE 0 END
+           END) = 0 AS passed
+    FROM documents d CROSS JOIN cons c CROSS JOIN prof p
+    GROUP BY d.source, c.constraint_id
+    ORDER BY group_key, constraint_id
+    """,
+)
+def constraint_suggest_enforce(spark, sf_dir):
+    from .operators import constraints as C
+    from .operators.suggest import suggest_constraints
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+    cons = C.from_suggestions(
+        suggest_constraints(ref, columns=["lang", "n_chars"], exact=True)
+    )
+    return C.constraint_verdicts(d, cons, "source").orderBy(
+        "group_key", "constraint_id"
+    )
+
+
 # ===========================================================================
 # Driver-gate ordering. The driver's CORRECTNESS gate records only the FIRST
 # 50 registry entries in iteration order, so the registry is explicitly
@@ -3666,9 +3737,10 @@ def suggested_constraints(spark, sf_dir):
 #       source_lang_map, props_variant_stats, embedding_topk/dup_pairs,
 #       simhash_near_dups, sketch quantiles) against the r4 ins that prove
 #       stable, keeping the per-family exemplar constraint; plus the
-#       round-4-late additions (suggested_constraints, dup_token_spans,
-#       doc_lm_scores, semantic_dedup_pairs) once they have an
-#       oracle-self-gate round behind them.
+#       round-4-late additions (suggested_constraints,
+#       constraint_suggest_enforce, dup_token_spans, doc_lm_scores,
+#       semantic_dedup_pairs) once they have an oracle-self-gate round
+#       behind them.
 # ===========================================================================
 
 GATED_ORDER = [

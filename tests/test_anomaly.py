@@ -57,6 +57,37 @@ def test_shift_flagged_stable_not(spark, tmp_path):
     assert rows[(1, "uniqueness")]["anomalous"] is False
 
 
+def test_cli_anomaly_report(spark, corpus_dir, tmp_path, capsys):
+    """--anomaly-report scores the manifest at the corpus's default location
+    and prints the anomalous (part, rule) rows as one JSON line."""
+    import json as _json
+    import os
+    import shutil
+
+    from lk_data_test_spark.cli import main
+
+    # private corpus copy: the synthesized manifest history must not leak
+    # into the shared fixture
+    d = str(tmp_path / "corpus")
+    shutil.copytree(corpus_dir, d)
+    seq = os.path.join(d, "sequences")
+    stable = [{"column_stats": 0.01 + 0.001 * (i % 3)} for i in range(8)]
+    shifted = stable[:7] + [{"column_stats": 9.0}]
+    m = CheckpointManifest(os.path.join(seq, "_manifest", "manifest.json"))
+    rules = default_rules()
+    for pid, runs in {0: stable, 1: shifted}.items():
+        for i, metrics in enumerate(runs):
+            m.record(pid, f"snap-{i}", [f"f{i}.parquet"], rules, metrics, "pass")
+    m.save()
+
+    rc = main(["--data-dir", d, "--anomaly-report"])
+    assert rc == 0
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    flagged = {(r["part_id"], r["rule_id"]) for r in got["anomalous"]}
+    assert flagged == {(1, "column_stats")}
+    assert got["scored_groups"] == 2
+
+
 def test_single_past_outlier_does_not_mask(spark, tmp_path):
     # mean/stddev would absorb the past spike into a huge sigma and miss the
     # recurrence; median/MAD keeps the band tight
