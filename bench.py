@@ -92,6 +92,94 @@ def run_suite(spark, corpus: str):
         return res, round(time.time() - t0, 3)
 
 
+def bench_resume(spark, corpus: str) -> dict:
+    """Quantify the north-star resume contract on a manifest-backed copy of
+    the bench corpus, in its four states: (1) full validation; (2) rerun —
+    validated partitions skipped, FAILED ones replayed (the contract);
+    (3) rerun after triage-acknowledging the failures — a true no-op;
+    (4) a 2-partition append delta — only the new partitions validated.
+    Returns wall times + the skip/ran splits."""
+    import shutil
+    import tempfile
+
+    from lk_data_test_spark.datagen import GenConfig, sequences_df
+    from lk_data_test_spark.plans.manifest import CheckpointManifest
+    from lk_data_test_spark.plans.runner import ValidationRunner
+    from lk_data_test_spark.sources.catalog import PartitionedTable
+
+    td = tempfile.mkdtemp(prefix="bench_resume_")
+    try:
+        seq_dir = os.path.join(td, "sequences")
+        shutil.copytree(os.path.join(corpus, "sequences"), seq_dir)
+        manifest = os.path.join(td, "manifest.json")
+
+        def mk_runner():
+            return ValidationRunner(
+                spark,
+                PartitionedTable(seq_dir),
+                allowed_sources=spark.read.parquet(
+                    os.path.join(corpus, "allowed_sources")
+                ),
+                reference_profiles=spark.read.parquet(
+                    os.path.join(corpus, "reference_profiles")
+                ),
+                manifest_path=manifest,
+            )
+
+        t0 = time.time()
+        r_full = mk_runner().run()
+        t_full = round(time.time() - t0, 3)
+        failed = sorted(
+            {int(v["part_id"]) for v in r_full.verdicts if not v["passed"]}
+        )
+
+        t0 = time.time()
+        r_rerun = mk_runner().run()
+        t_rerun = round(time.time() - t0, 3)
+        assert sorted(r_rerun.ran_parts) == failed, (r_rerun.ran_parts, failed)
+
+        # triage: acknowledge the (role-injected) failures so the remaining
+        # states isolate pure resume mechanics
+        m = CheckpointManifest(manifest)
+        for pid in failed:
+            m.acknowledge(pid, note="bench: generator-injected defect")
+        m.save()
+        t0 = time.time()
+        r_noop = mk_runner().run()
+        t_noop = round(time.time() - t0, 3)
+        assert not r_noop.ran_parts, r_noop.ran_parts
+
+        # append delta: 2 brand-new partitions (deterministic — the same
+        # per-part RNG seeding the corpus used, at the next two part ids)
+        cfg = GenConfig(n_parts=BENCH_PARTS + 2, rows_per_part=BENCH_ROWS)
+        (
+            sequences_df(spark, cfg, part_ids=[BENCH_PARTS, BENCH_PARTS + 1])
+            .write.mode("append")
+            .partitionBy("part_id")
+            .parquet(seq_dir)
+        )
+        t0 = time.time()
+        r_delta = mk_runner().run()
+        t_delta = round(time.time() - t0, 3)
+        assert sorted(r_delta.ran_parts) == [BENCH_PARTS, BENCH_PARTS + 1], (
+            r_delta.ran_parts
+        )
+        return {
+            "full_sec": t_full,
+            "full_parts": len(r_full.ran_parts),
+            "rerun_replay_failed_sec": t_rerun,
+            "replayed_parts": len(failed),
+            "rerun_all_acked_sec": t_noop,
+            "append_2parts_sec": t_delta,
+            "delta_rows_validated": r_delta.rows_validated,
+            "speedup_replay": round(t_full / t_rerun, 1) if t_rerun else None,
+            "speedup_noop": round(t_full / t_noop, 1) if t_noop else None,
+            "speedup_delta": round(t_full / t_delta, 1) if t_delta else None,
+        }
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def main() -> int:
     from lk_data_test_spark import entry_queries
     from lk_data_test_spark.session import get_spark
@@ -144,6 +232,11 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # resume-contract evidence (north star: "reruns skip validated
+    # partitions and replay only failures/deltas") — measured, not asserted
+    resume = bench_resume(spark, corpus)
+    print(f"  resume: {resume}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     try:
         sf = float(SF_DIR.rstrip("/").split("sf")[-1])
@@ -169,6 +262,7 @@ def main() -> int:
                     "runs after 1 warm-up (all raw runs in suite_runs_sec); "
                     "cold first-run times below",
                     "suite_runs_sec": suite_runs,
+                    "resume": resume,
                     "rule_secs_median": rule_secs_median,
                     "cold_first_run_sec": cold,
                 },

@@ -177,11 +177,27 @@ def _gen_partition(part_id: int, cfg: GenConfig) -> pd.DataFrame:
     )
 
 
-def sequences_df(spark: SparkSession, cfg: GenConfig = GenConfig()) -> DataFrame:
-    """Distributed generation: one task per part_id."""
-    parts = spark.range(cfg.n_parts).withColumnRenamed("id", "part_id")
+def sequences_df(
+    spark: SparkSession,
+    cfg: GenConfig = GenConfig(),
+    part_ids: list[int] | None = None,
+) -> DataFrame:
+    """Distributed generation: one task per part_id.
+
+    ``part_ids`` generates only the named partitions (identical bytes to the
+    same ids in a full run — the RNG is seeded per (seed, part_id)); used to
+    append deltas to an existing corpus without regenerating the rest.
+    """
+    if part_ids is not None:
+        parts = spark.createDataFrame(
+            [(int(p),) for p in part_ids], "part_id bigint"
+        )
+        n_tasks = max(1, len(part_ids))
+    else:
+        parts = spark.range(cfg.n_parts).withColumnRenamed("id", "part_id")
+        n_tasks = cfg.n_parts
     # one part per task so the per-partition RNG seeding is exact
-    parts = parts.repartition(cfg.n_parts, "part_id")
+    parts = parts.repartition(n_tasks, "part_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -57,6 +57,23 @@ class CheckpointManifest:
                 out.append(pid)
         return sorted(out)
 
+    def acknowledge(self, part_id: int, note: str = "") -> None:
+        """Triage workflow: accept a FAILED partition's current snapshot so
+        reruns stop replaying it. The verdict flips to "pass" for resume
+        purposes but the ack is recorded with provenance — and it holds only
+        for the acknowledged snapshot/rule versions: if the partition's data
+        or the suite changes, `pending` re-validates it like any other
+        change. Raises KeyError for a partition the manifest has never seen
+        (there is nothing to acknowledge)."""
+        e = self.entries[str(part_id)]
+        e["acknowledged"] = {
+            "at": datetime.now(timezone.utc).isoformat(),
+            "note": note,
+            "was_verdict": e.get("verdict"),
+            "snapshot_id": e.get("snapshot_id"),
+        }
+        e["verdict"] = "pass"
+
     # history depth per partition: enough for a robust median/MAD baseline
     # (plans/anomaly.py) without the manifest growing unboundedly with reruns
     HISTORY_MAX = 32

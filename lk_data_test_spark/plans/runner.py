@@ -111,10 +111,33 @@ class ValidationRunner:
 
         rule_secs: dict[str, float] = {}
 
+        # At 10^12 rows a catastrophically broken partition can turn a
+        # violations sink into a second copy of the table. The optional
+        # ``max_violations_per_part`` param caps EMITTED rows per
+        # (part_id, rule_id) — deterministically, the first N in canonical
+        # order — while verdict metrics stay exact (each rule counts
+        # violations inside evaluate(), before the cap).
+        viol_cap = self.params.get("max_violations_per_part")
+
         def eval_rule(rule: Rule):
             t0 = _time.time()
             res = rule.evaluate(df, ctx)
-            viol = res.violations.persist(StorageLevel.MEMORY_AND_DISK)
+            v = res.violations
+            if viol_cap:
+                from pyspark.sql import Window
+
+                # full-row order (canonical sink order + n_tok tie-break) so
+                # the kept prefix is unique even among rows that tie on the
+                # canonical sort keys
+                w = Window.partitionBy("part_id", "rule_id").orderBy(
+                    "doc_id", "source", "detail", "n_tok"
+                )
+                v = (
+                    v.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= int(viol_cap))
+                    .drop("__rn")
+                )
+            viol = v.persist(StorageLevel.MEMORY_AND_DISK)
             rows = [r.asDict() for r in res.verdicts.collect()]
             # wall time to a materialized verdict (rules run concurrently,
             # so these overlap — they are per-rule latencies, not a sum)

@@ -19,6 +19,25 @@ def test_deterministic(spark):
     assert a == b
 
 
+def test_part_ids_subset_matches_full_generation(spark):
+    """Delta generation (part_ids=...) is byte-identical to the same
+    partitions of a full run — the property the append-delta resume bench
+    and any backfill tooling rely on."""
+    cfg = GenConfig(n_parts=4, rows_per_part=50)
+    full = (
+        sequences_df(spark, cfg)
+        .filter(F.col("part_id").isin([1, 3]))
+        .orderBy("part_id", "doc_id")
+        .collect()
+    )
+    delta = (
+        sequences_df(spark, cfg, part_ids=[1, 3])
+        .orderBy("part_id", "doc_id")
+        .collect()
+    )
+    assert full == delta
+
+
 def test_shapes_and_roles(spark, corpus_dir):
     df = spark.read.parquet(f"{corpus_dir}/sequences")
     assert df.count() == TEST_CFG.n_parts * TEST_CFG.rows_per_part

@@ -93,6 +93,50 @@ def test_suite_and_resume(spark, corpus_dir, tmp_path):
     assert set(e["metrics"]) == set(e["rule_versions"])
 
 
+def test_acknowledge_stops_replay_until_data_changes(spark, corpus_dir, tmp_path):
+    """Triage workflow: acknowledging a failed partition stops the rerun
+    replay; the ack is snapshot-scoped provenance, so a data change still
+    re-validates."""
+    import pytest
+
+    from lk_data_test_spark.plans.manifest import CheckpointManifest
+
+    r = _runner(spark, corpus_dir, tmp_path)
+    r.run()
+    mpath = str(tmp_path / "manifest.json")
+    m = CheckpointManifest(mpath)
+    with pytest.raises(KeyError):
+        m.acknowledge(9999)
+    for pid in sorted(ALL_FAILING):
+        m.acknowledge(pid, note="triaged: generator-injected defect")
+    m.save()
+
+    r2 = _runner(spark, corpus_dir, tmp_path)
+    res2 = r2.run()
+    assert res2.ran_parts == [] and len(res2.skipped_parts) == TEST_CFG.n_parts
+
+    # provenance preserved
+    e = CheckpointManifest(mpath).entries[str(sorted(ALL_FAILING)[0])]
+    assert e["verdict"] == "pass"
+    assert e["acknowledged"]["was_verdict"] == "fail"
+    assert e["acknowledged"]["snapshot_id"] == e["snapshot_id"]
+
+    # an acked partition whose data changes is re-validated like any other
+    pid = sorted(ALL_FAILING)[0]
+    pdir = f"{corpus_dir}/sequences/part_id={pid}"
+    fname = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    with open(os.path.join(pdir, fname), "ab") as f:
+        f.write(b"\0")
+    try:
+        pending = r2.manifest.pending(r2.table, r2.rules)
+        assert pending == [pid]
+    finally:
+        p = os.path.join(pdir, fname)
+        with open(p, "rb+") as f:
+            f.seek(-1, os.SEEK_END)
+            f.truncate()
+
+
 def test_data_change_invalidates_lineage(spark, corpus_dir, tmp_path):
     r = _runner(spark, corpus_dir, tmp_path)
     res = r.run()
