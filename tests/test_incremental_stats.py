@@ -376,3 +376,57 @@ def test_incremental_token_bounds_delta_adds(spark, tmp_path):
     v3 = IncrementalTokenBoundsValidator(table, store).run(spark)
     assert all(m == "skip" for m in v3["modes"].values())
     assert v3["parts"][0]["metric"] == 3.0
+
+
+def test_skip_runs_do_no_work(spark, tmp_path, monkeypatch):
+    """An all-skip rerun must be scan-free AND rescore-free: the uniqueness
+    exact pass reuses the stored per-partition dup count (pure function of
+    the unchanged file set) and the drift scorer reuses the stored metric
+    under a matching (profiles, params) fingerprint. At 10^6 partitions the
+    pre-memoization behavior — replaying the exact pass over every flagged
+    partition and re-scoring every histogram — dominates an otherwise
+    O(delta) rerun."""
+    import lk_data_test_spark.operators.uniqueness as uniq_mod
+    from lk_data_test_spark.plans.incremental_stats import (
+        IncrementalDriftValidator,
+        IncrementalUniquenessValidator,
+    )
+
+    d = str(tmp_path / "corpus")
+    cfg = GenConfig(n_parts=5, rows_per_part=1200)
+    generate(spark, d, cfg)
+    table = PartitionedTable(f"{d}/sequences")
+    profiles = spark.read.parquet(f"{d}/reference_profiles")
+
+    ustore = str(tmp_path / "uniq.json")
+    dstore = str(tmp_path / "drift.json")
+    u1 = IncrementalUniquenessValidator(table, ustore).run(spark)
+    d1 = IncrementalDriftValidator(table, dstore).run(spark, profiles)
+    assert u1["parts"][1]["detail"] == "path=exact"  # dup role got flagged
+
+    def boom(*a, **k):
+        raise AssertionError("exact pass ran on an all-skip rerun")
+
+    monkeypatch.setattr(uniq_mod, "duplicate_doc_ids", boom)
+    monkeypatch.setattr(IncrementalDriftValidator, "_score", boom)
+
+    u2 = IncrementalUniquenessValidator(table, ustore).run(spark)
+    d2 = IncrementalDriftValidator(table, dstore).run(spark, profiles)
+    assert all(m == "skip" for m in u2["modes"].values())
+    assert all(m == "skip" for m in d2["modes"].values())
+    for pid in u1["parts"]:
+        assert u2["parts"][pid]["metric"] == u1["parts"][pid]["metric"]
+        assert u2["parts"][pid]["detail"] == u1["parts"][pid]["detail"]
+        assert d2["parts"][pid]["metric"] == d1["parts"][pid]["metric"]
+
+    # a params change invalidates the drift fingerprint: the skip run then
+    # RE-SCORES from stored partials (no scan) instead of reusing the memo —
+    # proven via a sentinel scorer that must be consulted
+    monkeypatch.setattr(
+        IncrementalDriftValidator, "_score", lambda self, *a, **k: 42.0
+    )
+    d3 = IncrementalDriftValidator(
+        table, dstore, params={"ks_threshold": 0.5}
+    ).run(spark, profiles)
+    assert all(m == "skip" for m in d3["modes"].values())
+    assert all(r["metric"] == 42.0 for r in d3["parts"].values())
