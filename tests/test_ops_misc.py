@@ -1236,3 +1236,54 @@ def test_suggest_constraints_approx_agrees(spark):
         for r in suggest_constraints(d, cols, exact=False).collect()
     }
     assert exact == approx
+
+
+def test_wilson_integer_form_matches_float_formula():
+    """The sampled_quality_check verdict uses an integer-exact rearrangement
+    of the z=2 Wilson upper bound (see entry_queries.py) so the boolean can
+    never diverge between engines on float rounding. Property: over every
+    (v, n) with n <= 400, the integer form equals the float formula
+    evaluated at distance from the 0.2 threshold (ties broken identically
+    because the comparison is exact on both sides of the algebra)."""
+    import math
+
+    for n in range(1, 401):
+        for v in range(0, n + 1):
+            upper = (v + 2 + 2 * math.sqrt(v * (n - v) / n + 1)) / (n + 4)
+            a = n + 4 - 5 * (v + 2)
+            int_form = a >= 0 and 100 * (v * (n - v) + n) <= n * a * a
+            # the float formula can round ON the boundary; the integer form
+            # is the ground truth there, so only assert when the float value
+            # is clearly on one side (the algebra is exact, floats are not)
+            if abs(upper - 0.2) > 1e-9:
+                assert int_form == (upper <= 0.2), (v, n, upper)
+
+
+def test_sampled_quality_and_balance_semantics(spark):
+    """partition_balance_report flags the deliberately-skewed `en` slice of
+    the driver testdata (218 of 500 docs at sf0.01-shape) and nothing else;
+    sampled_quality_check's sample is the deterministic md5 1/16 and its
+    verdict matches a per-group float Wilson recomputation."""
+    import math
+    import os
+
+    from lk_data_test_spark.entry_queries import Q
+
+    sf = os.environ.get("SPARK_GRAFT_SF_TEST", "/root/testdata/sf0.01")
+    bal = {r["lang"]: r for r in Q["partition_balance_report"](spark, sf).collect()}
+    assert set(bal) == {"de", "en", "es", "fr", "zh"}
+    flagged = {k for k, r in bal.items() if r["needs_rebalance"]}
+    assert flagged == {"en"}
+    total = sum(r["n_rows"] for r in bal.values())
+    for r in bal.values():
+        assert r["row_skew"] == r["n_rows"] * len(bal) / total
+
+    sq = Q["sampled_quality_check"](spark, sf).collect()
+    assert sq, "sample must be non-empty"
+    for r in sq:
+        assert 0 < r["sample_n"] <= 80  # ~1/16 of 500 spread over 5 langs
+        upper = (
+            r["viol_n"] + 2
+            + 2 * math.sqrt(r["viol_n"] * (r["sample_n"] - r["viol_n"]) / r["sample_n"] + 1)
+        ) / (r["sample_n"] + 4)
+        assert r["wilson_pass"] == (upper <= 0.2 + 1e-12), r
