@@ -202,16 +202,30 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.incremental_stats:
         from lk_data_test_spark.plans.incremental_stats import (
-            IncrementalDriftValidator,
-            IncrementalStatsValidator,
+            run_incremental_suite,
         )
 
         table = PartitionedTable(seq_path)
         mdir = os.path.join(args.data_dir, "_manifest")
         t0 = time.time()
-        r = IncrementalStatsValidator(
-            table, os.path.join(mdir, "incremental_stats.json")
-        ).run(spark)
+        prof_path = os.path.join(args.data_dir, "reference_profiles")
+        allowed_path = os.path.join(args.data_dir, "allowed_sources")
+        suite = run_incremental_suite(
+            spark,
+            table,
+            mdir,
+            profiles=(
+                spark.read.parquet(prof_path)
+                if os.path.exists(prof_path)
+                else None
+            ),
+            allowed=(
+                spark.read.parquet(allowed_path)
+                if os.path.exists(allowed_path)
+                else None
+            ),
+        )
+        r = suite["column_stats"]
         out = {
             "modes": {str(k): m for k, m in r["modes"].items()},
             "scanned_rows": r["scanned_rows"],
@@ -219,43 +233,27 @@ def main(argv: list[str] | None = None) -> int:
                 p for p, res in r["parts"].items() if not res["passed"]
             ),
         }
-        prof_path = os.path.join(args.data_dir, "reference_profiles")
-        if os.path.exists(prof_path):
-            rd = IncrementalDriftValidator(
-                table, os.path.join(mdir, "incremental_drift.json")
-            ).run(spark, spark.read.parquet(prof_path))
+        if "drift" in suite:
+            rd = suite["drift"]
             out["drift_modes"] = {str(k): m for k, m in rd["modes"].items()}
             out["drift_failed_partitions"] = sorted(
                 p for p, res in rd["parts"].items() if not res["passed"]
             )
-        allowed_path = os.path.join(args.data_dir, "allowed_sources")
-        if os.path.exists(allowed_path):
-            from lk_data_test_spark.plans.incremental_stats import (
-                IncrementalReferentialValidator,
-            )
-
-            rr = IncrementalReferentialValidator(
-                table, os.path.join(mdir, "incremental_referential.json")
-            ).run(spark, spark.read.parquet(allowed_path))
+        if "referential" in suite:
             out["referential_failed_partitions"] = sorted(
-                p for p, res in rr["parts"].items() if not res["passed"]
+                p
+                for p, res in suite["referential"]["parts"].items()
+                if not res["passed"]
             )
-        from lk_data_test_spark.plans.incremental_stats import (
-            IncrementalTokenBoundsValidator,
-            IncrementalUniquenessValidator,
-        )
-
-        ru = IncrementalUniquenessValidator(
-            table, os.path.join(mdir, "incremental_uniqueness.json")
-        ).run(spark)
         out["uniqueness_failed_partitions"] = sorted(
-            p for p, res in ru["parts"].items() if not res["passed"]
+            p
+            for p, res in suite["uniqueness"]["parts"].items()
+            if not res["passed"]
         )
-        rt = IncrementalTokenBoundsValidator(
-            table, os.path.join(mdir, "incremental_token_bounds.json")
-        ).run(spark)
         out["token_bounds_failed_partitions"] = sorted(
-            p for p, res in rt["parts"].items() if not res["passed"]
+            p
+            for p, res in suite["token_bounds"]["parts"].items()
+            if not res["passed"]
         )
         out["elapsed_sec"] = round(time.time() - t0, 2)
         print(json.dumps(out))

@@ -204,14 +204,19 @@ class IncrementalStatsValidator:
         rows = partition_stats(df, self.n_salt, self.bucket_width).collect()
         return {int(r["part_id"]): _row_to_stats(r) for r in rows}
 
-    def run(self, spark: SparkSession) -> dict:
+    def run(self, spark: SparkSession, _precomputed: dict | None = None) -> dict:
+        # _precomputed: {"full": {pid: stats}, "delta": {pid: stats}} from the
+        # fused single-decode token pass (run_incremental_suite) — same dict
+        # shape _stats_for returns, so the merge/verdict logic is identical.
         delta, full, skip = self._classify()
         results: dict[int, dict] = {}
         scanned_rows = 0
 
         if full:
-            stats = self._stats_for(
-                self.table.read_partitions(spark, full)
+            stats = (
+                _precomputed["full"]
+                if _precomputed is not None
+                else self._stats_for(self.table.read_partitions(spark, full))
             )
             for pid in full:
                 s = stats.get(pid) or _empty_stats()
@@ -220,7 +225,11 @@ class IncrementalStatsValidator:
 
         if delta:
             # ONE job over every partition's added files
-            dstats = self._stats_for(_union_with_part_ids(spark, delta))
+            dstats = (
+                _precomputed["delta"]
+                if _precomputed is not None
+                else self._stats_for(_union_with_part_ids(spark, delta))
+            )
             for pid in delta:
                 d = dstats.get(pid) or _empty_stats()
                 scanned_rows += d["row_count"]
@@ -371,21 +380,34 @@ class IncrementalDriftValidator:
             best = max(best, score)
         return best
 
-    def run(self, spark: SparkSession, profiles) -> dict:
+    def run(
+        self, spark: SparkSession, profiles, _precomputed: dict | None = None
+    ) -> dict:
+        # _precomputed: {"full": {pid: partials}, "delta": {pid: partials}}
+        # from the fused single-decode token pass (run_incremental_suite) —
+        # the same [source, kind, key, cnt] lists _partials_for returns.
         import numpy as np
 
         delta, full, skip = classify_partitions(self.table, self.entries)
         partials_by_part: dict[int, list] = {}
 
         if full:
-            got = self._partials_for(
-                spark, self.table.read_partitions(spark, full), profiles
+            got = (
+                _precomputed["full"]
+                if _precomputed is not None
+                else self._partials_for(
+                    spark, self.table.read_partitions(spark, full), profiles
+                )
             )
             for pid in full:
                 partials_by_part[pid] = sorted(got.get(pid, []))
         if delta:
-            got = self._partials_for(
-                spark, _union_with_part_ids(spark, delta), profiles
+            got = (
+                _precomputed["delta"]
+                if _precomputed is not None
+                else self._partials_for(
+                    spark, _union_with_part_ids(spark, delta), profiles
+                )
             )
             for pid in delta:
                 partials_by_part[pid] = self._merge_partials(
@@ -501,17 +523,33 @@ class IncrementalReferentialValidator:
         )
         return {int(r["part_id"]): int(r["n"]) for r in rows}
 
-    def run(self, spark: SparkSession, allowed) -> dict:
+    def run(
+        self,
+        spark: SparkSession,
+        allowed,
+        _precomputed: dict | None = None,
+    ) -> dict:
+        # _precomputed: {"full": {pid: n}, "delta": {pid: n}} — violation
+        # counts from the fused token pass (token_bounds only; referential's
+        # own scan is tokens-free and cheap).
         delta, full, skip = classify_partitions(self.table, self.entries)
         results: dict[int, dict] = {}
         if full:
-            got = self._counts(
-                self.table.read_partitions(spark, full), allowed
+            got = (
+                _precomputed["full"]
+                if _precomputed is not None
+                else self._counts(
+                    self.table.read_partitions(spark, full), allowed
+                )
             )
             for pid in full:
                 results[pid] = {"mode": "full", "metric": float(got.get(pid, 0))}
         if delta:
-            got = self._counts(_union_with_part_ids(spark, delta), allowed)
+            got = (
+                _precomputed["delta"]
+                if _precomputed is not None
+                else self._counts(_union_with_part_ids(spark, delta), allowed)
+            )
             for pid in delta:
                 results[pid] = {
                     "mode": "delta",
@@ -570,8 +608,13 @@ class IncrementalTokenBoundsValidator(IncrementalReferentialValidator):
         )
         return {int(r["part_id"]): int(r["n"]) for r in rows}
 
-    def run(self, spark: SparkSession, allowed=None) -> dict:
-        return super().run(spark, allowed)
+    def run(
+        self,
+        spark: SparkSession,
+        allowed=None,
+        _precomputed: dict | None = None,
+    ) -> dict:
+        return super().run(spark, allowed, _precomputed=_precomputed)
 
 
 class IncrementalUniquenessValidator:
@@ -824,3 +867,156 @@ class IncrementalUniquenessValidator:
             "parts": results,
             "modes": {pid: r["mode"] for pid, r in sorted(results.items())},
         }
+
+
+def _narrow_row_to_stats(row, null_tokens: int, len_mismatch: int) -> dict:
+    """Assemble the stats dict from the tokens-free salted pass plus the two
+    token-derived counters that came from the shared Arrow scan."""
+    d = {
+        k: int(row[k])
+        for k in _SUM_FIELDS
+        if k not in ("null_tokens", "len_mismatch")
+    }
+    d["null_tokens"] = int(null_tokens)
+    d["len_mismatch"] = int(len_mismatch)
+    d["min_n_tok"] = None if row["min_n_tok"] is None else int(row["min_n_tok"])
+    d["max_n_tok"] = None if row["max_n_tok"] is None else int(row["max_n_tok"])
+    d["n_tok_hist"] = {
+        str(k): int(v) for k, v in (row["n_tok_hist"] or {}).items()
+    }
+    return d
+
+
+def run_incremental_suite(
+    spark: SparkSession,
+    table: PartitionedTable,
+    manifest_dir: str,
+    profiles=None,
+    allowed=None,
+    vocab_lo: int = 0,
+    vocab_size: int = 32768,
+) -> dict[str, dict]:
+    """The incremental suite with ONE `tokens` decode per scanned file set.
+
+    Run separately, three of the five incremental validators each pay their
+    own scan of the `tokens` column (~99% of the table's bytes): column_stats
+    (size/null checks), drift (token-frequency partials) and token_bounds
+    (OOV rows) — on first sight that is 3x the dominant I/O, exactly the
+    duplication the batch suite already eliminates via plans/shared.py. This
+    orchestrator classifies once, runs ONE SharedTokenStats pass per scanned
+    frame (kinds 0-4: n_tok histogram, token freq, len-mismatch, null-tokens,
+    OOV rows) plus the cheap tokens-free salted pass, and feeds all three
+    validators their per-partition inputs; referential (source-only scan) and
+    uniqueness (doc_id sketches) keep their own narrow jobs.
+
+    Correctness: the fused inputs are the identical quantities each
+    validator's own scan derives — the batch suite's shared-vs-direct
+    equivalence is already part of the rule contracts (column_stats consumes
+    kinds 2/3 and token_bounds kind 4 in batch mode) — and the fusion only
+    engages when all three validators agree on every partition's mode (their
+    stores are written together by this CLI path, so they do unless a store
+    was hand-edited or lost); on ANY disagreement each validator falls back
+    to its own scan, correctness over cleverness. Drift's hashed-domain
+    fallback cannot run incrementally (stored partials would mix domains), so
+    that case also falls back per-validator (the drift validator raises, as
+    it does today).
+
+    Returns {"column_stats": ..., "drift": ..., "referential": ...,
+    "uniqueness": ..., "token_bounds": ...} — each the validator's run()
+    dict; drift/referential keys absent when their dimension input is None.
+    """
+    sv = IncrementalStatsValidator(
+        table, os.path.join(manifest_dir, "incremental_stats.json")
+    )
+    dv = (
+        IncrementalDriftValidator(
+            table, os.path.join(manifest_dir, "incremental_drift.json")
+        )
+        if profiles is not None
+        else None
+    )
+    tv = IncrementalTokenBoundsValidator(
+        table,
+        os.path.join(manifest_dir, "incremental_token_bounds.json"),
+        vocab_lo,
+        vocab_size,
+    )
+
+    fused = [v for v in (sv, dv, tv) if v is not None]
+    classes = [classify_partitions(table, v.entries) for v in fused]
+    agree = all(c == classes[0] for c in classes[1:])
+
+    pre_stats = pre_drift = pre_oov = None
+    if agree and dv is not None:
+        from .shared import (
+            KIND_LEN_MISMATCH,
+            KIND_NTOK,
+            KIND_NULL_TOKENS,
+            KIND_OOV_ROWS,
+            KIND_TOKEN,
+            SharedTokenStats,
+        )
+        from ..operators.column_stats import partition_stats_no_tokens
+
+        delta, full, _skip = classes[0]
+        pre_stats = {"full": {}, "delta": {}}
+        pre_drift = {"full": {}, "delta": {}}
+        pre_oov = {"full": {}, "delta": {}}
+        for mode, frame in (
+            ("full", table.read_partitions(spark, full) if full else None),
+            ("delta", _union_with_part_ids(spark, delta) if delta else None),
+        ):
+            if frame is None:
+                continue
+            shared = SharedTokenStats.from_profiles(
+                frame, profiles, vocab_lo=vocab_lo,
+                vocab_hi=vocab_lo + vocab_size,
+            )
+            if shared.hash_mod:
+                raise ValueError(
+                    "hashed-domain profiles are not supported incrementally; "
+                    "run the batch drift rule"
+                )
+            # the one decode of `tokens` for this frame
+            rows = shared.partials.collect()
+            tok_checks: dict[int, dict[int, int]] = {}
+            for r in rows:
+                pid, kind = int(r["part_id"]), int(r["kind"])
+                if kind in (KIND_NTOK, KIND_TOKEN):
+                    pre_drift[mode].setdefault(pid, []).append(
+                        [r["source"], kind, int(r["key"]), int(r["cnt"])]
+                    )
+                elif kind == KIND_OOV_ROWS:
+                    pre_oov[mode][pid] = (
+                        pre_oov[mode].get(pid, 0) + int(r["cnt"])
+                    )
+                else:  # len-mismatch / null-tokens -> column_stats
+                    tc = tok_checks.setdefault(pid, {})
+                    tc[kind] = tc.get(kind, 0) + int(r["cnt"])
+            narrow = partition_stats_no_tokens(
+                frame, sv.n_salt, sv.bucket_width
+            ).collect()
+            for r in narrow:
+                pid = int(r["part_id"])
+                tc = tok_checks.get(pid, {})
+                pre_stats[mode][pid] = _narrow_row_to_stats(
+                    r,
+                    tc.get(KIND_NULL_TOKENS, 0),
+                    tc.get(KIND_LEN_MISMATCH, 0),
+                )
+
+    out: dict[str, dict] = {}
+    out["column_stats"] = sv.run(spark, _precomputed=pre_stats)
+    if dv is not None:
+        out["drift"] = dv.run(spark, profiles, _precomputed=pre_drift)
+    if allowed is not None:
+        rv = IncrementalReferentialValidator(
+            table, os.path.join(manifest_dir, "incremental_referential.json")
+        )
+        out["referential"] = rv.run(spark, allowed)
+    uv = IncrementalUniquenessValidator(
+        table, os.path.join(manifest_dir, "incremental_uniqueness.json")
+    )
+    out["uniqueness"] = uv.run(spark)
+    out["token_bounds"] = tv.run(spark, _precomputed=pre_oov)
+    return out

@@ -430,3 +430,96 @@ def test_skip_runs_do_no_work(spark, tmp_path, monkeypatch):
     ).run(spark, profiles)
     assert all(m == "skip" for m in d3["modes"].values())
     assert all(r["metric"] == 42.0 for r in d3["parts"].values())
+
+
+def test_fused_suite_equals_separate_validators(spark, tmp_path, monkeypatch):
+    """run_incremental_suite fuses the three tokens-reading validators onto
+    ONE SharedTokenStats pass per scanned frame. Equivalence contract: the
+    fused results (modes, metrics, verdicts, merged stats) are identical to
+    each validator running its own scan, on first sight AND on an append
+    delta — and under fusion the per-validator scan methods are never
+    called (proven with raising sentinels)."""
+    from lk_data_test_spark.plans.incremental_stats import (
+        IncrementalDriftValidator,
+        IncrementalTokenBoundsValidator,
+        run_incremental_suite,
+    )
+
+    d = str(tmp_path / "corpus")
+    cfg = GenConfig(n_parts=5, rows_per_part=400)
+    generate(spark, d, cfg)
+    table = PartitionedTable(f"{d}/sequences")
+    profiles = spark.read.parquet(f"{d}/reference_profiles")
+    allowed = spark.read.parquet(f"{d}/allowed_sources")
+    fdir, sdir = str(tmp_path / "fused"), str(tmp_path / "sep")
+
+    def run_separate():
+        return {
+            "column_stats": IncrementalStatsValidator(
+                table, os.path.join(sdir, "incremental_stats.json")
+            ).run(spark),
+            "drift": IncrementalDriftValidator(
+                table, os.path.join(sdir, "incremental_drift.json")
+            ).run(spark, profiles),
+            "token_bounds": IncrementalTokenBoundsValidator(
+                table, os.path.join(sdir, "incremental_token_bounds.json")
+            ).run(spark),
+        }
+
+    def run_fused():
+        with monkeypatch.context() as m:
+            def boom(*a, **k):
+                raise AssertionError("per-validator scan ran under fusion")
+
+            m.setattr(IncrementalStatsValidator, "_stats_for", boom)
+            m.setattr(IncrementalDriftValidator, "_partials_for", boom)
+            m.setattr(IncrementalTokenBoundsValidator, "_counts", boom)
+            return run_incremental_suite(
+                spark, table, fdir, profiles=profiles, allowed=allowed
+            )
+
+    def check(fused, sep):
+        for rule in ("column_stats", "drift", "token_bounds"):
+            fp, sp = fused[rule]["parts"], sep[rule]["parts"]
+            assert set(fp) == set(sp), rule
+            for pid in fp:
+                assert fp[pid] == sp[pid], (rule, pid, fp[pid], sp[pid])
+
+    sep1 = run_separate()
+    fused1 = run_fused()
+    check(fused1, sep1)
+    assert fused1["column_stats"]["scanned_rows"] == 5 * 400
+    # the suite also ran the two narrow validators
+    assert set(fused1["uniqueness"]["parts"]) == set(range(5))
+    assert set(fused1["referential"]["parts"]) == set(range(5))
+
+    # pure append: OOV rows into clean part 0, clean rows into part 3
+    spark.createDataFrame(
+        [(f"O{i}", [1, 40000 + i], 2, "cases") for i in range(3)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1).write.mode("append").parquet(f"{d}/sequences/part_id=0")
+    spark.createDataFrame(
+        [(f"C{i}", [1, 2, 3], 3, "cases") for i in range(2)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1).write.mode("append").parquet(f"{d}/sequences/part_id=3")
+
+    sep2 = run_separate()
+    fused2 = run_fused()
+    check(fused2, sep2)
+    assert fused2["column_stats"]["modes"][0] == "delta"
+    assert fused2["token_bounds"]["parts"][0]["metric"] == 3.0
+    assert fused2["column_stats"]["scanned_rows"] == 5  # only the added rows
+
+    # classification disagreement -> fusion disengages, each validator falls
+    # back to its own scan and the run still completes correctly
+    os.remove(os.path.join(fdir, "incremental_drift.json"))
+    fused3 = run_incremental_suite(
+        spark, table, fdir, profiles=profiles, allowed=allowed
+    )
+    assert all(m == "full" for m in fused3["drift"]["modes"].values())
+    assert all(m == "skip" for m in fused3["column_stats"]["modes"].values())
+    for pid in fused3["drift"]["parts"]:
+        assert (
+            fused3["drift"]["parts"][pid]["metric"]
+            == sep2["drift"]["parts"][pid]["metric"]
+        )
