@@ -111,12 +111,36 @@ def _assign_expr(cents: np.ndarray):
     ).alias("cluster")
 
 
+# FAISS ``max_points_per_centroid`` convention: Lloyd's rounds see at most
+# ~256 points per centroid. Above that the extra points sharpen the
+# centroids negligibly but each round pays a full corpus scan — at 10^12
+# vectors, 4 training rounds would be 4 corpus passes for a k x dim result.
+_TRAIN_POINTS_PER_CENTROID = 256
+
+
+def _train_sample(unit: DataFrame, cap: int, n_rows: int) -> DataFrame:
+    """Deterministic ~``cap``-row training subset of a (vec_id, u, ...)
+    frame. A pure hash-threshold filter on vec_id: no shuffle, no count
+    inside the filter, and the selected row SET is a function of vec_id
+    alone (stable across partitioning, retries, and cluster sizes —
+    ``df.sample`` is none of those). Expected size = cap with binomial
+    jitter; a no-op when the corpus already fits the cap."""
+    if n_rows <= cap:
+        return unit
+    denom = 1 << 20
+    thresh = max(1, -(-denom * cap // n_rows))  # ceil
+    return unit.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(denom)) < F.lit(thresh)
+    )
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     n_clusters: int = 8,
     n_iter: int = 4,
     dim: int = 64,
     seed: int = 11,
+    sample_cap: int | None = None,
 ) -> tuple[np.ndarray, list[float]]:
     """Distributed spherical k-means (Lloyd's) — the trainer for the IVF
     coarse quantizer (``ivf_centroids`` is the untrained drop-in).
@@ -133,10 +157,29 @@ def kmeans_fit(
     Spherical Lloyd's on unit vectors with normalized-mean updates is
     monotone in the objective sum(max_c cos(x, c)) — asserted by pytest.
 
+    ``sample_cap`` bounds the TRAINING set (None → the FAISS convention of
+    256·n_clusters; 0 disables sampling): when the corpus exceeds the cap,
+    rounds iterate over a deterministic hash-sampled ~cap-row subset
+    (``_train_sample``), so training cost is corpus-INDEPENDENT — one
+    metadata-cheap count() + n_iter scans of the cached sample — and only
+    the single downstream assign/encode pass touches every row. The
+    returned objective history is then over the sample. At the registry /
+    bench scales (500-2000 vectors) the default cap never binds, so
+    outputs are unchanged; at 10^12 it is the difference between 4 corpus
+    passes and none.
+
     Returns (unit-norm centroids [n_clusters x dim], per-round objective).
     """
     cents = ivf_centroids(dim, n_clusters, seed)
-    unit = _unit_vectors(embeddings).cache()
+    cap = (
+        _TRAIN_POINTS_PER_CENTROID * n_clusters
+        if sample_cap is None
+        else sample_cap
+    )
+    unit = _unit_vectors(embeddings)
+    if cap:
+        unit = _train_sample(unit, cap, embeddings.count())
+    unit = unit.cache()
     history: list[float] = []
     try:
         for _ in range(n_iter):
@@ -465,6 +508,7 @@ def pq_train(
     dim: int = 64,
     seed: int = 19,
     units: DataFrame | None = None,
+    sample_cap: int | None = None,
 ) -> tuple[np.ndarray, list[float]]:
     """Train per-subspace L2 codebooks (classic PQ Lloyd's) over the
     unit-normalized vectors. One scan per round for ALL m subspaces: codes
@@ -473,13 +517,22 @@ def pq_train(
     partial-aggregated map-side) — the collect is m*k*(subdim+1) doubles,
     corpus-independent. ``units`` substitutes a precomputed (vec_id, u)
     frame for the default unit-normalized vectors — IVF+PQ passes the
-    per-cluster RESIDUALS here. Returns (codebooks [m,k,subdim], per-round
-    total quantization error — monotone non-increasing, asserted by
-    pytest)."""
+    per-cluster RESIDUALS here. ``sample_cap`` bounds the training set
+    exactly as in ``kmeans_fit`` (None → 256·k; 0 disables; row count
+    taken from ``embeddings``, which has the same cardinality as any
+    ``units`` frame derived from it) — rounds then scan a deterministic
+    ~cap-row cached sample instead of the corpus, and only ``pq_encode``
+    touches every row. Returns (codebooks [m,k,subdim], per-round total
+    quantization error over the training set — monotone non-increasing,
+    asserted by pytest)."""
     subdim = dim // m
     rng = np.random.default_rng(seed)
     books = rng.standard_normal((m, k, subdim)) * 0.1
-    unit = (units if units is not None else _unit_vectors(embeddings)).cache()
+    cap = _TRAIN_POINTS_PER_CENTROID * k if sample_cap is None else sample_cap
+    unit = units if units is not None else _unit_vectors(embeddings)
+    if cap:
+        unit = _train_sample(unit, cap, embeddings.count())
+    unit = unit.cache()
     history: list[float] = []
     try:
         for _ in range(n_iter):

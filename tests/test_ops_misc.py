@@ -1287,3 +1287,62 @@ def test_sampled_quality_and_balance_semantics(spark):
             + 2 * math.sqrt(r["viol_n"] * (r["sample_n"] - r["viol_n"]) / r["sample_n"] + 1)
         ) / (r["sample_n"] + 4)
         assert r["wilson_pass"] == (upper <= 0.2 + 1e-12), r
+
+
+def test_trainer_sample_cap(spark):
+    """Bounded-sample training (the FAISS max_points_per_centroid
+    convention, similarity._TRAIN_POINTS_PER_CENTROID): Lloyd's rounds at
+    10^12 vectors must not each rescan the corpus, so both trainers cap
+    their training set via a deterministic hash-threshold filter.
+    Asserts: (a) a BINDING cap selects a strict, deterministic subset and
+    the objective stays monotone; (b) cap disabled (0), cap >= corpus, and
+    the default auto-cap (which never binds at test scale) are all
+    bit-identical — the cap is pure scale posture, not a behavior change;
+    (c) a PQ model trained under a binding cap still clears recall@5 >= 0.6
+    through the full two-stage search."""
+    from lk_data_test_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    assert n == 500  # a 200-row cap binds; the 256*k defaults do not
+
+    # (a) binding cap: deterministic refit, monotone objective, real subset
+    c1, h1 = similarity.kmeans_fit(emb, n_clusters=8, n_iter=3, sample_cap=200)
+    c2, h2 = similarity.kmeans_fit(emb, n_clusters=8, n_iter=3, sample_cap=200)
+    assert h1 == h2 and np.array_equal(c1, c2)
+    for prev, cur in zip(h1, h1[1:]):
+        assert cur >= prev - 1e-9, f"objective regressed: {h1}"
+    sample = similarity._train_sample(
+        similarity._unit_vectors(emb), 200, n
+    )
+    n_sample = sample.count()
+    assert 0 < n_sample < n
+    assert abs(n_sample - 200) <= 60  # binomial jitter around the cap
+
+    # (b) non-binding caps are exact no-ops
+    c_off, h_off = similarity.kmeans_fit(emb, n_clusters=8, n_iter=2, sample_cap=0)
+    c_big, h_big = similarity.kmeans_fit(
+        emb, n_clusters=8, n_iter=2, sample_cap=10**6
+    )
+    c_auto, h_auto = similarity.kmeans_fit(emb, n_clusters=8, n_iter=2)
+    assert h_off == h_big == h_auto
+    assert np.array_equal(c_off, c_big) and np.array_equal(c_off, c_auto)
+    b_off, e_off = similarity.pq_train(emb, m=16, k=16, n_iter=2, sample_cap=0)
+    b_auto, e_auto = similarity.pq_train(emb, m=16, k=16, n_iter=2)
+    assert e_off == e_auto and np.array_equal(b_off, b_auto)
+
+    # (c) capped-training PQ still searches well end-to-end
+    books, errs = similarity.pq_train(
+        emb, m=16, k=16, n_iter=3, sample_cap=200
+    )
+    for prev, cur in zip(errs, errs[1:]):
+        assert cur <= prev + 1e-9, f"quantization error regressed: {errs}"
+    bf = similarity.brute_force_topk(emb, k=5, n_queries=10).collect()
+    pq = similarity.pq_topk(
+        emb, k=5, n_queries=10, m=16, n_codes=16, rerank=50, books=books
+    ).collect()
+    bf_keys = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    recall = sum(
+        1 for r in pq if (r["query_id"], r["neighbor_id"]) in bf_keys
+    ) / len(bf)
+    assert recall >= 0.6, f"capped-training pq recall@5 = {recall:.2f}"
