@@ -54,6 +54,13 @@ def main(argv: list[str] | None = None) -> int:
         help="JSON rule-parameter overrides, keyed by rule id, e.g. "
         '\'{"drift": {"ks_threshold": 0.25}, "uniqueness": {"max_dup_rate": 0}}\'',
     )
+    ap.add_argument(
+        "--extra-rules",
+        default=None,
+        metavar="NAME[,NAME...]",
+        help="append opt-in rules to the default suite (e.g. seq_structure; "
+        "arm its checks via --params seq_bos_id/seq_eos_id/seq_pad_id)",
+    )
     ap.add_argument("--generate", action="store_true")
     ap.add_argument("--parts", type=int, default=16)
     ap.add_argument("--rows-per-part", type=int, default=2000)
@@ -300,6 +307,13 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         rules = default_rules() + [_C.constraint_rule(cons)]
+
+    if args.extra_rules:
+        from lk_data_test_spark.plans.rules import default_rules, optional_rules
+
+        rules = (rules if rules is not None else default_rules()) + optional_rules(
+            [n.strip() for n in args.extra_rules.split(",") if n.strip()]
+        )
 
     runner = ValidationRunner(
         spark,

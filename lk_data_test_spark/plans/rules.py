@@ -147,3 +147,24 @@ def default_rules() -> list[Rule]:
         Rule("referential", "1.0", referential.evaluate),
         Rule("drift", "1.0", drift.evaluate),
     ]
+
+
+def optional_rules(names: list[str]) -> list[Rule]:
+    """Opt-in rules whose contract is deployment configuration rather than
+    a corpus universal (e.g. seq_structure needs the tokenizer's BOS/EOS/PAD
+    ids). Kept out of default_rules() so golden fixtures, the flagship
+    VALUES oracle, and resume manifests are independent of local config;
+    selected via ``cli.py --extra-rules name[,name...]``. Manifest lineage
+    records their versions like any other rule, so enabling one invalidates
+    previously-validated partitions exactly as a rule-version bump would."""
+    from ..operators import seq_structure
+
+    registry = {
+        "seq_structure": lambda: Rule("seq_structure", "1.0", seq_structure.evaluate),
+    }
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        raise ValueError(
+            f"unknown extra rules {unknown}; available: {sorted(registry)}"
+        )
+    return [registry[n]() for n in names]
