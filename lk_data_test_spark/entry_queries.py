@@ -2956,6 +2956,64 @@ def validation_suite_verdicts(spark, sf_dir):
     return out.orderBy("rule_id", "part_id")
 
 
+# Opt-in seq_structure rule (operators/seq_structure.py) over a literal
+# 10-row corpus whose defects are constructed by hand, so the oracle is a
+# VALUES literal derived from the CONSTRUCTION (not captured from engine
+# output): d2 lacks BOS at position 1; d3's tokens[n_tok] != EOS; d4 carries
+# PAD inside [1, n_tok]; d5 trips all three; d0/d1 are clean (d1's trailing
+# PAD beyond n_tok is the legal storage convention); d6-d9 have undefined
+# framing (null tokens / null / zero n_tok / array shorter than n_tok) and
+# must be SKIPPED (column_stats territory — asserted by the partition-2 pass
+# in tests/test_seq_structure.py).
+_SEQ_STRUCT_ROWS = [
+    ("d0", [1, 7, 8, 2], 4, "web", 0),
+    ("d1", [1, 9, 2, 0, 0], 3, "web", 0),
+    ("d2", [5, 7, 8, 2], 4, "web", 1),
+    ("d3", [1, 7, 8, 9], 4, "web", 1),
+    ("d4", [1, 7, 0, 2], 4, "web", 1),
+    ("d5", [5, 0, 8, 9], 4, "web", 1),
+    ("d6", None, 4, "web", 2),
+    ("d7", [1, 2], None, "web", 2),
+    ("d8", [1, 2], 0, "web", 2),
+    ("d9", [1, 7], 5, "web", 2),
+]
+
+
+@query(
+    "seq_structure_violations",
+    """
+    SELECT CAST(part_id AS INTEGER) AS part_id, rule_id, doc_id, source,
+           CAST(n_tok AS INTEGER) AS n_tok, detail
+    FROM (VALUES
+      (1, 'seq_structure', 'd2', 'web', 4, 'missing_bos'),
+      (1, 'seq_structure', 'd3', 'web', 4, 'missing_eos'),
+      (1, 'seq_structure', 'd4', 'web', 4, 'interior_pad'),
+      (1, 'seq_structure', 'd5', 'web', 4, 'interior_pad'),
+      (1, 'seq_structure', 'd5', 'web', 4, 'missing_bos'),
+      (1, 'seq_structure', 'd5', 'web', 4, 'missing_eos')
+    ) AS t(part_id, rule_id, doc_id, source, n_tok, detail)
+    ORDER BY doc_id, detail
+    """,
+)
+def seq_structure_violations(spark, sf_dir):
+    from .operators import seq_structure
+    from .plans.rules import RuleContext
+
+    df = spark.createDataFrame(
+        _SEQ_STRUCT_ROWS,
+        "doc_id string, tokens array<int>, n_tok int, source string,"
+        " part_id int",
+    )
+    ctx = RuleContext(
+        spark=spark,
+        part_ids=[0, 1, 2],
+        params={"seq_bos_id": 1, "seq_eos_id": 2, "seq_pad_id": 0},
+    )
+    return seq_structure.evaluate(df, ctx).violations.orderBy(
+        "doc_id", "detail"
+    )
+
+
 # Global (cross-partition) uniqueness — the case partition scope cannot see:
 # a doc_id duplicated across shards (re-ingested dumps). The oracle is a
 # VALUES literal DERIVED ANALYTICALLY from the injection arithmetic
@@ -3894,7 +3952,7 @@ def sampled_quality_check(spark, sf_dir):
 #   global_uniqueness_verdicts, doc_pii_redaction, source_mixture_weights,
 #   doc_boilerplate_ratio, corpus_health_report, suggested_constraints,
 #   constraint_suggest_enforce, partition_balance_report,
-#   sampled_quality_check (25 slots — every oracled entry then has had a
+#   sampled_quality_check, seq_structure_violations (26 slots — every oracled entry then has had a
 #   driver hash row within two rounds of landing). The rows-only entries
 #   (ANN/sketch/stub families) stay covered by ann_recall_at5 + pytest.
 GATED_ORDER = [
