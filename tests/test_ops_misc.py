@@ -1346,3 +1346,20 @@ def test_trainer_sample_cap(spark):
         1 for r in pq if (r["query_id"], r["neighbor_id"]) in bf_keys
     ) / len(bf)
     assert recall >= 0.6, f"capped-training pq recall@5 = {recall:.2f}"
+
+
+def test_train_sample_partitioning_invariant(spark):
+    """The trainer sample is a pure function of vec_id: the SAME row set is
+    selected regardless of how the input is partitioned (df.sample would
+    fail this — its Bernoulli draw follows partition layout), which is what
+    makes capped training deterministic across cluster sizes and retries."""
+    from lk_data_test_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    u = similarity._unit_vectors(emb)
+    picks = []
+    for nparts in (1, 3, 7):
+        s = similarity._train_sample(u.repartition(nparts), 200, emb.count())
+        picks.append(sorted(r["vec_id"] for r in s.select("vec_id").collect()))
+    assert picks[0] == picks[1] == picks[2]
+    assert 0 < len(picks[0]) < 500
