@@ -21,8 +21,9 @@ from lk_data_test_spark import entry_queries  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full validation rule-suite (schema, column stats,
-    uniqueness, referential, drift) over a deterministic 5-partition sequences
-    corpus — returns the per-(partition, rule) verdict table (25 rows)."""
+    token bounds, uniqueness, referential, drift) over a deterministic
+    5-partition sequences corpus — returns the per-(partition, rule)
+    verdict table (30 rows)."""
     return entry_queries.validation_suite_verdicts(spark, "/root/testdata/sf0.001")
 
 
