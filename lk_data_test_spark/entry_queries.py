@@ -3892,6 +3892,56 @@ def sampled_quality_check(spark, sf_dir):
     ).orderBy("lang")
 
 
+@query(
+    "docs_cube_counts",
+    """
+    SELECT COALESCE(lang, '(all)') AS lang_grp,
+           COALESCE(source, '(all)') AS source_grp,
+           CAST(GROUPING(lang) + 2 * GROUPING(source) AS INTEGER)
+             AS grouping_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE(lang, source)
+    ORDER BY lang_grp, source_grp
+    """,
+)
+def docs_cube_counts(spark, sf_dir):
+    """§2.5 multi-granularity aggregation: CUBE(lang, source) — per-pair,
+    per-lang, per-source, and grand-total counts in ONE pass (the reference
+    computes its coverage counters at several granularities in separate
+    dict walks, e.g. the per-category and total tallies of
+    ``/root/reference/curation/check_fackel_references.py:24-35``; CUBE is
+    the engine's one-shuffle form: Spark's Expand emits the 4 grouping sets
+    map-side and the partial aggregation collapses them before the single
+    exchange — no per-granularity rescan). ``grouping_id`` disambiguates a
+    real value from a rolled-up margin exactly as SQL GROUPING() does;
+    testdata lang/source are non-null, so the '(all)' labels are
+    unambiguous. Scale: output is |lang x source| + |lang| + |source| + 1
+    rows — bounded by dimension cardinalities, not corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang_grp"),
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source_grp"),
+            (
+                F.when(F.col("lang").isNull(), 1).otherwise(0)
+                + F.lit(2) * F.when(F.col("source").isNull(), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("grouping_id"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("lang_grp", "source_grp")
+    )
+
+
 # ===========================================================================
 # Driver-gate ordering. The driver's CORRECTNESS gate records only the FIRST
 # 50 registry entries in iteration order, so the registry is explicitly
@@ -3952,7 +4002,8 @@ def sampled_quality_check(spark, sf_dir):
 #   global_uniqueness_verdicts, doc_pii_redaction, source_mixture_weights,
 #   doc_boilerplate_ratio, corpus_health_report, suggested_constraints,
 #   constraint_suggest_enforce, partition_balance_report,
-#   sampled_quality_check, seq_structure_violations (26 slots — every oracled entry then has had a
+#   sampled_quality_check, seq_structure_violations, docs_cube_counts
+#   (27 slots — every oracled entry then has had a
 #   driver hash row within two rounds of landing). The rows-only entries
 #   (ANN/sketch/stub families) stay covered by ann_recall_at5 + pytest.
 GATED_ORDER = [
