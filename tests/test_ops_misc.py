@@ -1363,3 +1363,16 @@ def test_train_sample_partitioning_invariant(spark):
         picks.append(sorted(r["vec_id"] for r in s.select("vec_id").collect()))
     assert picks[0] == picks[1] == picks[2]
     assert 0 < len(picks[0]) < 500
+
+
+def test_cube_counts_one_expand_one_agg_exchange(spark):
+    """docs_cube_counts' plan claim: all four grouping sets come from ONE
+    Expand over one scan with ONE hash-partitioned aggregation exchange
+    (plus the final orderBy range exchange) — no per-granularity rescan."""
+    from lk_data_test_spark import entry_queries as E
+
+    df = E.Q["docs_cube_counts"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
