@@ -1913,6 +1913,65 @@ def dup_clusters(spark, sf_dir):
     return dedup.dup_clusters(pairs).orderBy("doc_id")
 
 
+# The decision a dedup pipeline actually ships to the trainer: ONE canonical
+# representative per duplicate cluster (keep-longest, ties -> lowest doc_id —
+# the standard heuristic), every other member dropped. Spark side picks the
+# winner with a per-component max(struct(n_chars, -doc_id)) partial
+# aggregation + an equi-join back (component count is tiny next to the
+# corpus; no window over low-cardinality keys, no O(cluster) sort per task);
+# the oracle expresses the same tie rule as a window for readability.
+@query(
+    "dedup_keep_list",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+          UNION ALL
+          SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM e
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component
+             FROM reach GROUP BY id),
+    j AS (SELECT c.doc_id, c.component, d.n_chars
+          FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+    ranked AS (SELECT doc_id, component, n_chars,
+                      row_number() OVER (PARTITION BY component
+                                         ORDER BY n_chars DESC, doc_id ASC)
+                        AS rk
+               FROM j)
+    SELECT doc_id, component, n_chars, (rk = 1) AS keep
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def dedup_keep_list(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=20)
+    members = dedup.dup_clusters(pairs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    best = members.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("n_chars").alias("len"),
+                (-F.col("doc_id")).alias("neg_id"),
+                F.col("doc_id").alias("winner"),
+            )
+        ).alias("b")
+    )
+    return (
+        members.join(best, "component")
+        .select(
+            "doc_id",
+            "component",
+            "n_chars",
+            (F.col("doc_id") == F.col("b.winner")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # Similarity search (operators/similarity.py)
 # ===========================================================================
@@ -4002,8 +4061,8 @@ def docs_cube_counts(spark, sf_dir):
 #   global_uniqueness_verdicts, doc_pii_redaction, source_mixture_weights,
 #   doc_boilerplate_ratio, corpus_health_report, suggested_constraints,
 #   constraint_suggest_enforce, partition_balance_report,
-#   sampled_quality_check, seq_structure_violations, docs_cube_counts
-#   (27 slots — every oracled entry then has had a
+#   sampled_quality_check, seq_structure_violations, docs_cube_counts,
+#   dedup_keep_list (28 slots — every oracled entry then has had a
 #   driver hash row within two rounds of landing). The rows-only entries
 #   (ANN/sketch/stub families) stay covered by ann_recall_at5 + pytest.
 GATED_ORDER = [
