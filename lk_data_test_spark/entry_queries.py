@@ -4047,7 +4047,7 @@ def docs_cube_counts(spark, sf_dir):
 # - r3 gated: the original exemplar set (see CORRECTNESS_r03.json keys).
 # - r4 gated (below): 21 never-gated oracled entries rotated in; displaced
 #   exemplars' families stay covered per the inline notes.
-# - r5 plan: rotate the proven-stable r4 additions (training_pipeline_sample,
+# - r5 (APPLIED below): rotated the proven-stable r4 additions (training_pipeline_sample,
 #   vocab_ids, bigram_top15, doc_split_shards, packed_char_bins,
 #   doc_word_windows, event_sessions, benchmark_contamination,
 #   tfidf_top_terms, doc_repetition_scores, stratified_doc_sample,
@@ -4075,72 +4075,66 @@ GATED_ORDER = [
     "user_event_type_sets",       # A9 distinct-set per group
     "event_type_key_rewrite",     # J8 self-referential update join
     "coalesce_fallback_chain",    # P3/P8/P9 fallback chain
-    "supplier_geo_wkt",           # §2.8 geo WKT
-    "props_json_buckets",         # §2.8 map/json family
-    "custkeys_only_finished",     # §2.7 except
-    "incremental_delta_verdicts",  # file-delta incremental validation (new
-    #   r4 family — gated the round it ships per the advisor's rule; §2.7
-    #   intersect exemplar custkeys_both_statuses rotated to r5, the family
-    #   stays covered by custkeys_only_finished + union_lang_subsets)
+    "supplier_geo_wkt",           # §2.8 geo WKT (sole geo exemplar)
     "union_lang_subsets",         # §2.7 union + P4/P7 predicates
-    "doc_column_stats",           # A10 salted single-pass column stats
-    "doc_referential_violations",  # J2 left-anti referential
-    "doc_source_drift",           # §2.10 KS drift applyInPandas
+    "incremental_delta_verdicts",  # §2.9 incremental/file-delta validation
+    "doc_column_stats",           # A10/R1 salted single-pass column stats
+    "doc_referential_violations",  # J2/R3 left-anti referential
+    "doc_source_drift",           # §2.10/R4 KS drift applyInPandas
     "doc_lang_id",                # text-pipeline lang-id
     "inverse_property_swap",      # §2.10 SPARQL inverse-property swap
-    "normalized_source_urls",     # §2.8/§2.10 URL canon pandas_udf
-    # --- r4 rotation: never-gated oracled entries earn their hash row -----
-    "training_pipeline_sample",   # composed dedup->quality->split->chunk
-    #   (covers J7/P2 canonicalization: was doc_fingerprints; A2 md5 dedup)
-    "vocab_ids",                  # two-stage distributed rank
-    #   (covers W2 surrogate ids: was priority_surrogate_keys; A3
-    #    countDistinct: was distinct_users_per_type)
-    "bigram_top15",               # §2.6 top-k TakeOrderedAndProject
-    #   (covers §2.6/W3 sort-by-count: was word_freq_top20 +
-    #    event_type_counts)
-    "doc_split_shards",           # deterministic hash split
-    #   (covers CASE chains: was classify_parts; P1 string projection:
-    #    was part_string_projection)
-    "packed_char_bins",           # running-sum window packing
-    "doc_word_windows",           # fixed-stride chunking via posexplode
-    #   (covers W1/UDTF fan-out: was posexplode_words)
-    "event_sessions",             # sessionization (lag/gap windows)
-    "date_range_extract",         # §2.8 date family (ISO range parsing) —
-    #   kept gated: event_sessions covers timestamps but NOT the
-    #   extract_begin_end parsing family, so the exemplar stays
-    #   (session_funnel moved to the r5 rotation instead; temporal remains
-    #   double-covered by event_sessions + last_error_asof)
-    "benchmark_contamination",    # shingle containment join
-    #   (covers J5 exploded containment: was word_partkey_multimap)
-    "tfidf_top_terms",            # tf/df scoring + per-doc ranking
-    #   (covers A5 composite grouping: was dup_lang_source_pairs; A8
-    #    first-per-group via rk=1: was cheapest_part_per_brand)
-    "doc_repetition_scores",      # Gopher-style repetition quality
-    #   (covers text stats: was doc_token_counts + doc_quality_scores)
-    "stratified_doc_sample",      # per-stratum deterministic sampling
-    #   (covers P10 sampling/limit: was top100_docs_sample)
-    "event_type_pivot",           # wide pivot
-    "event_type_unpivot",         # long unpivot (melt)
-    "user_event_rank_family",     # rank/dense_rank/percent_rank/ntile
-    #   (covers J4/W1 tie-break ranking: was top_line_per_order)
-    "chars_words_corr",           # portable correlation aggregate
-    "embedding_digest_invariant",  # §2.8 array digest (token_eq analog)
-    #   (covers array family: was embedding_int_norms)
-    "built_reference_profiles",   # profile builder, VALUES-literal oracle
-    # --- scale-critical set (pinned since r3) -----------------------------
-    "exact_dup_docs",
-    "ngram_jaccard_dups",
-    "minhash_signatures_k8",
-    "minhash_lsh_dups",
-    "dup_clusters",
-    "salted_hot_word_join",
-    "revenue_rollup",
-    "event_value_quantiles",
-    "best_cross_lang_match",
-    "chars_band_join",
-    "last_error_asof",            # W4 as-of (also covers last_purchase_before)
+    "normalized_source_urls",     # §2.8/§2.10 URL canon pandas_udf + J7/P2
+    "vocab_ids",                  # W2 surrogate ids / A3 two-stage rank
+    #   (kept gated: sole W2 exemplar after the r5 rotation)
+    "date_range_extract",         # §2.8 date family (ISO range parsing)
+    "chars_band_join",            # range/band join (sole exemplar)
     "ann_recall_at5",             # ANN quality, all 5 methods, every round
     "validation_suite_verdicts",  # flagship, VALUES-literal oracle
+    # --- r5 rotation: the 28 remaining never-gated ORACLED entries --------
+    # Displaced r4/r3 entries all hold r3/r4 driver hash rows; family
+    # coverage notes per line. With this window every oracled registry
+    # entry has earned a driver hash row within two rounds of landing.
+    "session_funnel",             # W1 ordered event sequences
+    "custkeys_both_statuses",     # §2.7 intersect (except exemplar
+    #   custkeys_only_finished rotated out with its r1-r4 hash rows;
+    #   set-op family stays covered by intersect + union)
+    "orders_by_month",            # date-truncated grouping
+    "urgent_orders_gapfilled",    # W4 gap-fill / last-preceding
+    #   (covers as-of family: last_error_asof rotated out)
+    "event_json_export",          # S6 JSON report sink
+    "doc_word_membership",        # §2.8 array membership
+    #   (covers array family: embedding_digest_invariant rotated out)
+    "doc_chars_histogram",        # width_bucket histogram agg
+    "doc_lm_scores",              # bigram-LM text scoring
+    "dup_token_spans",            # J5 windowed-shingle equi-join dedup
+    #   (covers containment-join family: benchmark_contamination out)
+    "embedding_topk",             # §2.6 exact top-k cosine baseline
+    "embedding_dup_pairs",        # banded cosine dup pairs (brute baseline)
+    "user_rolling_value",         # W rolling window aggregate
+    "source_vocab_overlap",       # set-overlap aggregation
+    "chars_quartiles_by_lang",    # exact percentile agg
+    #   (covers quantile family: event_value_quantiles rotated out)
+    "source_lang_map",            # §2.8 map aggregation
+    "props_variant_stats",        # §2.8 json/variant stats
+    #   (with source_lang_map covers map/json: props_json_buckets out)
+    "global_uniqueness_verdicts",  # R2 global HLL sketch-union uniqueness
+    "doc_pii_redaction",          # §2.8 regex redaction chain
+    "source_mixture_weights",     # mixture-weight aggregation
+    "doc_boilerplate_ratio",      # boilerplate shingle ratio
+    "corpus_health_report",       # composed corpus health metrics
+    "suggested_constraints",      # Deequ-style suggestion
+    "constraint_suggest_enforce",  # suggest->enforce round-trip
+    "partition_balance_report",   # partition skew diagnostics
+    "sampled_quality_check",      # P10 deterministic sampling gate
+    #   (covers sampling family: stratified_doc_sample rotated out)
+    "seq_structure_violations",   # BOS/EOS/PAD sequence-structure rule
+    "docs_cube_counts",           # CUBE multi-granularity agg
+    #   (covers grouping-sets family: revenue_rollup rotated out)
+    "dedup_keep_list",            # A2/A8/J4 canonical keep-list per cluster
+    #   (max-struct tie-break + join back covers the dedup ladder's gated
+    #   slot: exact_dup/ngram_jaccard/minhash*/dup_clusters all rotated out
+    #   with r3+r4 hash rows; salted_hot_word_join out — salting stays
+    #   covered by doc_column_stats' salted single-pass)
 ]
 
 
