@@ -3583,7 +3583,12 @@ def doc_boilerplate_ratio(spark, sf_dir):
         .filter(F.col("df") > 20)
         .select("shingle", F.lit(1).alias("is_boiler"))
     )
-    flagged = sh.join(F.broadcast(boiler), "shingle", "left")
+    # No broadcast hint: the boiler set is every shingle with df>20, which
+    # grows with corpus vocabulary — at 100 TB it would blow Spark's 8 GB
+    # broadcast cap. The join is a plain equi-join on `shingle`; AQE picks
+    # broadcast when the stop set happens to be small and falls back to a
+    # shuffled hash join when it isn't.
+    flagged = sh.join(boiler, "shingle", "left")
     return (
         flagged.groupBy("doc_id")
         .agg(

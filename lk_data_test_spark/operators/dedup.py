@@ -15,6 +15,8 @@ ratios of exact integer counts.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -202,8 +204,12 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # cand_docs is tiny by construction on a healthy corpus (only docs that
+    # LSH-banded into a shared bucket), but a pathologically duplicate-heavy
+    # corpus makes it O(docs) — so no explicit broadcast hint: AQE broadcasts
+    # the semi-join side when it fits and shuffles when it doesn't.
     sets = (
-        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        sh.join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("ss"))
     )
@@ -403,19 +409,68 @@ def dup_clusters(
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, band_dims: int = 3
+) -> DataFrame:
     """Near-dup pairs by cosine over quantized embeddings (exact integer dot
-    products -> engine-portable doubles). Brute-force O(n^2) verification
-    baseline; the scale path is similarity.ann_lsh_topk's bucketing.
+    products -> engine-portable doubles), candidate-generated by an EXACT
+    grid banding so the join is an equi-join, never a cartesian product.
+
+    Exactness argument: on the unit sphere, cos(a,b) >= tau implies
+    ||u_a - u_b||_2 = sqrt(2 - 2*cos) <= delta, hence every normalized
+    coordinate differs by at most delta. Bucketing coordinate i into cells
+    of width w >= delta means a qualifying pair's cells differ by at most 1
+    per banded coordinate, so multiprobing the 3^k neighbor cells of the
+    probe side against the build side's home cell finds EVERY pair with
+    cosine >= threshold — recall is 1.0 by construction at any scale (this
+    is the deterministic analog of SimHash chunk banding above, with a
+    proof instead of a probability). Each unordered pair is emitted exactly
+    once: the probe row with the smaller vec_id always covers the build
+    row's unique home cell.
+
+    Scale shape: probe side fans out 3^band_dims rows (27 for k=3), build
+    side 1 row, then a shuffled equi-join on the cell key; cost per cell is
+    |probe_cell| x |build_cell|, the same locality bound as an LSH bucket.
+    No broadcast of anything corpus-sized, no inequality-only join.
     """
+    from itertools import product as _product
+
     from ..functions.arrays import int_dot, quantized
 
+    delta = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
+    w = delta * (1.0 + 1e-9)  # guard the |diff| == delta boundary
     q = embeddings.select(
         "vec_id", quantized(F.col("embedding")).alias("q")
     ).withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
+    cells = [
+        F.floor(F.element_at("q", i + 1).cast("double") / F.col("nrm") / F.lit(w))
+        .cast("int")
+        .alias(f"c{i}")
+        for i in range(band_dims)
+    ]
+    g = q.select("vec_id", "q", "nrm", *cells)
+    build = g.withColumn(
+        "cell", F.concat_ws(":", *[F.col(f"c{i}") for i in range(band_dims)])
+    ).drop(*[f"c{i}" for i in range(band_dims)])
+    probe_cells = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    (F.col(f"c{i}") + F.lit(off[i])).cast("string")
+                    for i in range(band_dims)
+                ],
+            )
+            for off in _product((-1, 0, 1), repeat=band_dims)
+        ]
+    )
+    probe = g.select(
+        "vec_id", "q", "nrm", F.explode(probe_cells).alias("cell")
+    )
     pairs = (
-        q.alias("a")
-        .join(q.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        probe.alias("a")
+        .join(build.alias("b"), "cell")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

@@ -404,13 +404,16 @@ def test_cli_build_profiles_mode(spark, corpus_dir, tmp_path, capsys):
 
 
 def test_no_cartesian_product_in_any_registry_plan(spark):
-    """Global scale guard: NO registry query may plan a CartesianProduct.
-    The brute-force similarity baselines are allowed their BroadcastNestedLoop
-    (bounded: n_queries x corpus with a broadcast query side), but an
-    unbounded cartesian anywhere is a 100 TB outage. Driver-coordinated
-    iterative queries (kmeans, dup_clusters, the rule suite) are skipped —
-    building them EXECUTES jobs; their shapes are asserted by their own
-    tests."""
+    """Global scale guard: NO registry query may plan a CartesianProduct,
+    and NO registry query may plan a nested-loop join that streams the fact
+    table EXCEPT the explicitly allowlisted evaluation baselines whose
+    broadcast side is bounded by construction (embedding_topk broadcasts
+    the fixed query set, never the corpus). A nested-loop join over an
+    unbounded side degrades to a cartesian product the moment the build
+    side outgrows the broadcast threshold — a 100 TB outage. Driver-
+    coordinated iterative queries (kmeans, dup_clusters, the rule suite)
+    are skipped — building them EXECUTES jobs; their shapes are asserted by
+    their own tests."""
     import __spark_entry__ as entry
 
     eager = {
@@ -425,7 +428,16 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
         "validation_suite_verdicts",
         "global_uniqueness_verdicts",
     }
-    bad = []
+    # Nested-loop allowed ONLY here: the broadcast side is bounded by
+    # construction, never corpus-sized.
+    bnlj_allowed = {
+        "embedding_topk",            # broadcast side = fixed query set
+        "doc_source_drift",          # crossJoin w/ 1-row global-avg agg
+        "source_mixture_weights",    # crossJoin w/ 1-row totals agg
+        "partition_balance_report",  # crossJoin w/ 1-row totals agg
+        "vocab_ids",                 # triangular join over <=n_parts rows
+    }
+    bad, bad_bnlj = [], []
     for name, fn in entry.queries().items():
         if name in eager:
             continue
@@ -437,7 +449,12 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
         )
         if "CartesianProduct" in plan:
             bad.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
+            bad_bnlj.append(name)
     assert not bad, f"cartesian product planned in: {bad}"
+    assert not bad_bnlj, (
+        f"nested-loop join planned outside the bounded allowlist: {bad_bnlj}"
+    )
 
 
 def test_no_unbounded_global_window_in_any_registry_plan(spark):
