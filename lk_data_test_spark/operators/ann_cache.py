@@ -1,0 +1,117 @@
+"""Trained-artifact cache for the ANN family (kmeans centroids, PQ
+codebooks), keyed by (corpus digest, training params).
+
+Training is already bounded (hash-sampled sets, driver-coordinated
+rounds), so re-training per call is cost, not a scale-killer — but the
+reference analog is a PRE-REGISTERED external index (SURVEY §2 S3,
+reference `scripts/` queries an index that exists before the job runs),
+so repeated invocations over the same corpus should pay training once.
+The digest is metadata-only: the sorted scan file list of the input
+DataFrame plus, for local files, size + mtime_ns — no data pass. A
+DataFrame that is not parquet/file-backed (in-memory test frames) yields
+no digest and trains uncached, which is the correct behavior for
+constructed corpora.
+
+Contract: callers pass the UNFILTERED source-backed frame (every registry
+call site does); a filtered view of the same files would collide, so
+derived training inputs (e.g. IVF+PQ residuals) must carry an explicit
+`units_key` describing their derivation or they bypass the cache.
+
+Artifacts are tiny (k x dim doubles; m x k x subdim doubles), stored both
+in-process and as .npz under $LK_ANN_CACHE_DIR (default
+<tmpdir>/lk_ann_cache) with atomic replace, so a second driver process —
+e.g. a bench re-run — also hits. `LK_ANN_CACHE=0` disables everything.
+Bump _CACHE_VERSION when a training algorithm changes behavior.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from urllib.parse import unquote, urlparse
+
+import numpy as np
+
+_CACHE_VERSION = 1
+_MEM: dict[str, tuple[np.ndarray, list[float]]] = {}
+
+
+def _enabled() -> bool:
+    return os.environ.get("LK_ANN_CACHE", "1") != "0"
+
+
+def cache_dir() -> str:
+    d = os.environ.get(
+        "LK_ANN_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "lk_ann_cache"),
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def corpus_digest(df) -> str | None:
+    """Metadata-only corpus fingerprint: sorted scan files; local files add
+    size + mtime_ns (object-store paths are immutable by convention and
+    hash by path alone). None when the frame has no file-backed scan."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode("utf-8"))
+        if f.startswith("file:"):
+            p = unquote(urlparse(f).path)
+            try:
+                st = os.stat(p)
+            except OSError:
+                return None  # cannot attest freshness -> train uncached
+            h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def get_or_train(kind: str, df, params: dict, trainer):
+    """Return trainer()'s (ndarray, history) result, cached under
+    (kind, corpus digest, params). History is stored alongside the
+    artifact, so a hit returns the REAL objective curve from the original
+    training run."""
+    if not _enabled():
+        return trainer()
+    dg = corpus_digest(df)
+    if dg is None:
+        return trainer()
+    key = hashlib.sha256(
+        f"v{_CACHE_VERSION}:{kind}:{dg}:".encode()
+        + json.dumps(params, sort_keys=True).encode()
+    ).hexdigest()[:32]
+    hit = _MEM.get(key)
+    if hit is not None:
+        return hit[0].copy(), list(hit[1])
+    path = os.path.join(cache_dir(), f"{kind}-{key}.npz")
+    if os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                out = (z["arr"], [float(x) for x in z["history"]])
+            _MEM[key] = out
+            return out[0].copy(), list(out[1])
+        except Exception:
+            pass  # unreadable/corrupt file -> retrain and overwrite
+    arr, history = trainer()
+    _MEM[key] = (arr, list(history))
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(
+                f, arr=arr, history=np.asarray(list(history), dtype=float)
+            )
+        os.replace(tmp, path)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    return arr, history

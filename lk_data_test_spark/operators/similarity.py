@@ -168,8 +168,38 @@ def kmeans_fit(
     outputs are unchanged; at 10^12 it is the difference between 4 corpus
     passes and none.
 
+    Trained centroids are cached by (corpus digest, params) via
+    ``ann_cache`` — the reference analog is a pre-registered external
+    index (SURVEY §2 S3), so repeat invocations over the same parquet
+    corpus pay training once; a cache hit returns the original run's
+    objective history. In-memory frames digest to None and always train.
+
     Returns (unit-norm centroids [n_clusters x dim], per-round objective).
     """
+    from .ann_cache import get_or_train
+
+    params = dict(
+        n_clusters=n_clusters, n_iter=n_iter, dim=dim, seed=seed,
+        sample_cap=sample_cap,
+    )
+    return get_or_train(
+        "kmeans",
+        embeddings,
+        params,
+        lambda: _kmeans_fit_impl(
+            embeddings, n_clusters, n_iter, dim, seed, sample_cap
+        ),
+    )
+
+
+def _kmeans_fit_impl(
+    embeddings: DataFrame,
+    n_clusters: int,
+    n_iter: int,
+    dim: int,
+    seed: int,
+    sample_cap: int | None,
+) -> tuple[np.ndarray, list[float]]:
     cents = ivf_centroids(dim, n_clusters, seed)
     cap = (
         _TRAIN_POINTS_PER_CENTROID * n_clusters
@@ -509,6 +539,7 @@ def pq_train(
     seed: int = 19,
     units: DataFrame | None = None,
     sample_cap: int | None = None,
+    units_key: dict | None = None,
 ) -> tuple[np.ndarray, list[float]]:
     """Train per-subspace L2 codebooks (classic PQ Lloyd's) over the
     unit-normalized vectors. One scan per round for ALL m subspaces: codes
@@ -524,7 +555,45 @@ def pq_train(
     ~cap-row cached sample instead of the corpus, and only ``pq_encode``
     touches every row. Returns (codebooks [m,k,subdim], per-round total
     quantization error over the training set — monotone non-increasing,
-    asserted by pytest)."""
+    asserted by pytest).
+
+    Codebooks cache like ``kmeans_fit``'s centroids (corpus digest +
+    params via ``ann_cache``). A caller passing a derived ``units`` frame
+    MUST supply ``units_key`` describing its deterministic derivation
+    (IVF+PQ residuals are fixed by the coarse-quantizer params), because
+    the derived frame scans the same files as the raw corpus and would
+    otherwise collide with raw-unit training; with ``units`` and no
+    ``units_key`` the call trains uncached."""
+    from .ann_cache import get_or_train
+
+    if units is not None and units_key is None:
+        return _pq_train_impl(
+            embeddings, m, k, n_iter, dim, seed, units, sample_cap
+        )
+    params = dict(
+        m=m, k=k, n_iter=n_iter, dim=dim, seed=seed, sample_cap=sample_cap,
+        units_key=units_key,
+    )
+    return get_or_train(
+        "pq",
+        embeddings,
+        params,
+        lambda: _pq_train_impl(
+            embeddings, m, k, n_iter, dim, seed, units, sample_cap
+        ),
+    )
+
+
+def _pq_train_impl(
+    embeddings: DataFrame,
+    m: int,
+    k: int,
+    n_iter: int,
+    dim: int,
+    seed: int,
+    units: DataFrame | None,
+    sample_cap: int | None,
+) -> tuple[np.ndarray, list[float]]:
     subdim = dim // m
     rng = np.random.default_rng(seed)
     books = rng.standard_normal((m, k, subdim)) * 0.1
@@ -837,8 +906,16 @@ def ivfpq_topk(
     )
     residuals = _residual_units(embeddings, cents).cache()
     try:
+        # residuals are a deterministic function of (corpus, coarse params),
+        # so the codebook cache key carries the derivation instead of the
+        # frame identity
         books, _ = pq_train(
-            embeddings, m=m, k=n_codes, n_iter=n_iter, dim=dim, units=residuals
+            embeddings, m=m, k=n_codes, n_iter=n_iter, dim=dim,
+            units=residuals,
+            units_key={
+                "residuals": {"n_lists": n_lists, "coarse_iter": coarse_iter,
+                              "kmeans_seed": 11}
+            },
         )
         table = pq_encode(embeddings, books, units=residuals)
         qunits = _query_units(embeddings, n_queries)
