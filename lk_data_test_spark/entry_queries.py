@@ -607,10 +607,34 @@ def distinct_users_per_type(spark, sf_dir):
     )
 
 
-# A3 at-scale variant: HLL sketch (approx_count_distinct) — approximate by
-# design, so rows-only (the R2 uniqueness rule pytest-verifies the HLL screen
-# against exact counts)
-@query("approx_distinct_users_per_type", None)
+# A3 at-scale variant: HLL sketch (approx_count_distinct). The estimate is
+# DETERMINISTIC — HLL registers merge by max, so the value is a pure
+# function of the distinct user_id set, independent of partitioning, task
+# order, and merge order — but it is not SQL-derivable, so the oracle pins
+# the recorded estimates as VALUES keyed by corpus row count (the same SQL
+# string value-checks whichever shipped SF the harness runs). Derivation:
+# exact per-type counts are 15 / 150 / 1500 at sf0.001/0.01/0.1 (all five
+# event types share the same user population by construction); the rsd=1%
+# HLL reports 15 / 151 / 1507 — within 1% of exact, as the R2 uniqueness
+# rule's pytest bound asserts for the same sketch.
+@query(
+    "approx_distinct_users_per_type",
+    """
+    WITH n AS (SELECT count(*) AS c FROM events),
+    v(event_type, n_users_approx, c) AS (VALUES
+      ('click', 15, 1000), ('error', 15, 1000), ('purchase', 15, 1000),
+      ('signup', 15, 1000), ('view', 15, 1000),
+      ('click', 151, 10000), ('error', 151, 10000),
+      ('purchase', 151, 10000), ('signup', 151, 10000),
+      ('view', 151, 10000),
+      ('click', 1507, 100000), ('error', 1507, 100000),
+      ('purchase', 1507, 100000), ('signup', 1507, 100000),
+      ('view', 1507, 100000))
+    SELECT event_type, CAST(n_users_approx AS BIGINT) AS n_users_approx
+    FROM v JOIN n ON v.c = n.c
+    ORDER BY event_type
+    """,
+)
 def approx_distinct_users_per_type(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -1603,10 +1627,26 @@ def event_value_quantiles(spark, sf_dir):
 
 # Scale-safe quantiles (the engine default): approx_percentile keeps a
 # bounded mergeable sketch per group (map-side combine, constant memory per
-# hot key) instead of buffering every value. Rows-only (sketch internals
-# aren't DuckDB-portable); the accuracy-bound pytest pins the sketch against
-# the exact form.
-@query("event_value_quantiles_sketch", None)
+# hot key) instead of buffering every value. Oracle: while every group
+# holds <= accuracy (10000) rows — true at both oracle scales (max group
+# ~2000 at sf0.01) — the Greenwald-Khanna summary never compresses, so the
+# sketch is EXACT and partition/merge-order independent, and Spark's rank
+# query equals the discrete lower quantile, i.e. DuckDB's quantile_disc
+# (verified value-identical at sf0.001 and sf0.01). Past that regime (e.g.
+# sf0.1's 20k-row groups) the sketch approximates within 1/accuracy and
+# the accuracy-bound pytest takes over from the oracle.
+@query(
+    "event_value_quantiles_sketch",
+    """
+    SELECT event_type,
+           CAST(quantile_disc(cents, 0.25) AS DOUBLE) AS q25_cents,
+           CAST(quantile_disc(cents, 0.50) AS DOUBLE) AS q50_cents,
+           CAST(quantile_disc(cents, 0.75) AS DOUBLE) AS q75_cents
+    FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
 def event_value_quantiles_sketch(spark, sf_dir):
     e = _t(spark, sf_dir, "events").withColumn(
         "cents", F.round(F.col("value") * 100).cast("bigint")
@@ -2430,10 +2470,30 @@ def chars_quartiles_by_lang(spark, sf_dir):
 # full sort), broadcast the tiny (lang, bounds) table back, classify each row
 # against its boundaries, and aggregate. Two map-side-combinable passes; a
 # hot language costs nothing beyond its share of the hash aggregate.
-# Rows-only (sketch boundaries aren't DuckDB-portable);
+# Oracle: per-lang doc counts sit far below the sketch accuracy (10000) at
+# both oracle scales, so the boundary sketch is in its EXACT regime and
+# the boundaries equal DuckDB's quantile_disc (see
+# event_value_quantiles_sketch for the regime argument; verified
+# value-identical at sf0.001 and sf0.01) — the oracle classifies against
+# the same discrete boundaries. Beyond the regime,
 # `tests/test_ops_misc.py::test_sketch_quartiles_close_to_exact` bounds the
 # per-bucket mass error against the exact ntile form.
-@query("chars_quartiles_by_lang_sketch", None)
+@query(
+    "chars_quartiles_by_lang_sketch",
+    """
+    WITH b AS (SELECT lang, quantile_disc(n_chars, 0.25) AS b1,
+                      quantile_disc(n_chars, 0.50) AS b2,
+                      quantile_disc(n_chars, 0.75) AS b3
+               FROM documents GROUP BY lang)
+    SELECT d.lang,
+           CASE WHEN n_chars <= b1 THEN 1 WHEN n_chars <= b2 THEN 2
+                WHEN n_chars <= b3 THEN 3 ELSE 4 END AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(n_chars) AS lo, max(n_chars) AS hi
+    FROM documents d JOIN b USING (lang)
+    GROUP BY d.lang, quartile ORDER BY d.lang, quartile
+    """,
+)
 def chars_quartiles_by_lang_sketch(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     bounds = d.groupBy("lang").agg(
