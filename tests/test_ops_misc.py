@@ -1306,7 +1306,12 @@ def test_sampled_quality_and_balance_semantics(spark):
         assert r["wilson_pass"] == (upper <= 0.2 + 1e-12), r
 
 
-def test_trainer_sample_cap(spark):
+def test_trainer_sample_cap(spark, monkeypatch):
+    # Bypass the ann_cache artifact store: this test compares bit-identical
+    # refits WITHIN one process, and a disk hit from a previous session
+    # differs in the last ulp (Spark partial-agg summation order is only
+    # deterministic within a process, not across processes).
+    monkeypatch.setenv("LK_ANN_CACHE", "0")
     """Bounded-sample training (the FAISS max_points_per_centroid
     convention, similarity._TRAIN_POINTS_PER_CENTROID): Lloyd's rounds at
     10^12 vectors must not each rescan the corpus, so both trainers cap
