@@ -432,6 +432,10 @@ def embedding_dup_pairs(
     side 1 row, then a shuffled equi-join on the cell key; cost per cell is
     |probe_cell| x |build_cell|, the same locality bound as an LSH bucket.
     No broadcast of anything corpus-sized, no inequality-only join.
+    ``band_dims`` must be <= the embedding dimension (element_at past the
+    array end yields a null cell and silently drops rows); exactness vs a
+    numpy brute force is property-tested across thresholds in
+    tests/test_ops_misc.py::test_grid_banding_is_exact_vs_numpy_brute_force.
     """
     from itertools import product as _product
 

@@ -1398,3 +1398,51 @@ def test_cube_counts_one_expand_one_agg_exchange(spark):
     assert plan.count("Expand") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_grid_banding_is_exact_vs_numpy_brute_force(spark):
+    """embedding_dup_pairs' grid banding claims EXACT recall by the
+    triangle-inequality bound (cos >= tau => every normalized coordinate
+    differs by <= sqrt(2-2*tau), so the +/-1 multiprobe always covers the
+    build row's home cell). Pin the math against a numpy brute force that
+    replicates the operator's integer quantization bit-for-bit, on a
+    random corpus salted with exact duplicates and near-duplicates, across
+    thresholds from loose (big cells, few bands) to tight (many cells):
+    the pair SET and every cosine must match exactly."""
+    import numpy as np
+
+    from lk_data_test_spark.operators import dedup
+
+    rng = np.random.default_rng(97)
+    base = rng.standard_normal((120, 16)).astype(np.float32)
+    dups = base[:20] + rng.standard_normal((20, 16)).astype(np.float32) * 0.02
+    exact = base[20:30].copy()
+    vecs = np.vstack([base, dups, exact])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    ).repartition(8)
+
+    q = np.round(vecs.astype(np.float64) * 1000)  # quantized(scale=1000)
+    nrm = np.sqrt((q * q).sum(axis=1))
+    cos = (q @ q.T) / np.outer(nrm, nrm)
+    n = len(vecs)
+    iu = np.triu_indices(n, k=1)
+    for tau in (0.4, 0.8, 0.95, 0.99):
+        want = {
+            (int(a), int(b)): cos[a, b]
+            for a, b in zip(*iu)
+            if cos[a, b] >= tau
+        }
+        got = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in dedup.embedding_dup_pairs(df, threshold=tau).collect()
+        }
+        assert set(got) == set(want), (
+            f"tau={tau}: missing={set(want) - set(got)} "
+            f"extra={set(got) - set(want)}"
+        )
+        for pair, c in got.items():
+            assert abs(c - want[pair]) < 1e-12, (tau, pair, c, want[pair])
+        if tau <= 0.8:
+            assert want, f"tau={tau}: corpus produced no pairs — bad salt"
