@@ -91,8 +91,13 @@ def get_or_train(kind: str, df, params: dict, trainer):
     hit = _MEM.get(key)
     if hit is not None:
         return hit[0].copy(), list(hit[1])
-    path = os.path.join(cache_dir(), f"{kind}-{key}.npz")
-    if os.path.exists(path):
+    try:
+        path = os.path.join(cache_dir(), f"{kind}-{key}.npz")
+    except OSError:
+        # cache dir not creatable (read-only tmp, odd permissions) — the
+        # cache is an optimization, never a failure mode
+        path = None
+    if path is not None and os.path.exists(path):
         try:
             with np.load(path) as z:
                 out = (z["arr"], [float(x) for x in z["history"]])
@@ -102,16 +107,17 @@ def get_or_train(kind: str, df, params: dict, trainer):
             pass  # unreadable/corrupt file -> retrain and overwrite
     arr, history = trainer()
     _MEM[key] = (arr, list(history))
-    tmp = f"{path}.{os.getpid()}.tmp.npz"
-    try:
-        with open(tmp, "wb") as f:
-            np.savez(
-                f, arr=arr, history=np.asarray(list(history), dtype=float)
-            )
-        os.replace(tmp, path)
-    except OSError:
+    if path is not None:
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
         try:
-            os.unlink(tmp)
+            with open(tmp, "wb") as f:
+                np.savez(
+                    f, arr=arr, history=np.asarray(list(history), dtype=float)
+                )
+            os.replace(tmp, path)
         except OSError:
-            pass
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
     return arr, history
