@@ -429,13 +429,26 @@ def embedding_dup_pairs(
     row's unique home cell.
 
     Scale shape: probe side fans out 3^band_dims rows (27 for k=3), build
-    side 1 row, then a shuffled equi-join on the cell key; cost per cell is
-    |probe_cell| x |build_cell|, the same locality bound as an LSH bucket.
-    No broadcast of anything corpus-sized, no inequality-only join.
+    side 1 row, then a CO-GROUP on the cell key scored as one Arrow
+    block-matmul per cell: each cell's vectors cross the Arrow boundary
+    ONCE (not once per candidate pair), the P x B integer dot-product
+    matrix is exact int64 numpy (identical bits to the zip_with/aggregate
+    expression it replaces — same integer sums, same IEEE double
+    division), and the matmul is tiled so no task materializes more than
+    ~2k x 2k scores at a time. Cost per cell is still |probe| x |build|
+    multiplies — inherent to an EXACT scorer — but at vectorized-matmul
+    speed instead of interpreted per-pair expression trees (measured 29x
+    on the 10x hot-cell soak, BENCH/BASELINE.md round-5 addendum). No
+    broadcast of anything corpus-sized, no inequality-only join; the
+    data-adaptive corpus-scale paths remain semantic_dup_pairs (kmeans
+    cells) and the LSH ladder.
     ``band_dims`` must be <= the embedding dimension (element_at past the
     array end yields a null cell and silently drops rows); exactness vs a
     numpy brute force is property-tested across thresholds in
-    tests/test_ops_misc.py::test_grid_banding_is_exact_vs_numpy_brute_force.
+    tests/test_ops_misc.py::test_grid_banding_is_exact_vs_numpy_brute_force,
+    and tests/test_ops_misc.py::test_semantic_dedup_recall_and_exactness
+    pins bit-equality of shared-pair scores against the expression-scored
+    semantic path.
     """
     from itertools import product as _product
 
@@ -453,9 +466,17 @@ def embedding_dup_pairs(
         for i in range(band_dims)
     ]
     g = q.select("vec_id", "q", "nrm", *cells)
-    build = g.withColumn(
-        "cell", F.concat_ws(":", *[F.col(f"c{i}") for i in range(band_dims)])
-    ).drop(*[f"c{i}" for i in range(band_dims)])
+    # fresh aliases on the build side: probe and build share lineage (one
+    # projection of the same scan), and a self-cogroup with identical
+    # attribute ids fails analysis as ambiguous
+    build = g.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("q").alias("b_q"),
+        F.col("nrm").alias("b_nrm"),
+        F.concat_ws(
+            ":", *[F.col(f"c{i}") for i in range(band_dims)]
+        ).alias("cell"),
+    )
     probe_cells = F.array(
         *[
             F.concat_ws(
@@ -471,21 +492,51 @@ def embedding_dup_pairs(
     probe = g.select(
         "vec_id", "q", "nrm", F.explode(probe_cells).alias("cell")
     )
-    pairs = (
-        probe.alias("a")
-        .join(build.alias("b"), "cell")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            (
-                int_dot(F.col("a.q"), F.col("b.q")).cast("double")
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    tau = float(threshold)
+    tile = 2048  # bounds any task's score matrix at ~32 MB of doubles
+
+    def _score_cell(probe_pdf: pd.DataFrame, build_pdf: pd.DataFrame):
+        if probe_pdf.empty or build_pdf.empty:
+            return
+        ida = probe_pdf["vec_id"].to_numpy()
+        idb = build_pdf["b_vec_id"].to_numpy()
+        qa = np.stack(probe_pdf["q"].to_numpy()).astype(np.int64)
+        qb = np.stack(build_pdf["b_q"].to_numpy()).astype(np.int64)
+        na = probe_pdf["nrm"].to_numpy(dtype=np.float64)
+        nb = build_pdf["b_nrm"].to_numpy(dtype=np.float64)
+        for i in range(0, len(ida), tile):
+            for j in range(0, len(idb), tile):
+                # exact int64 dots (|q|<=~5e3, d<=64 -> dot < 2^53, no
+                # overflow, lossless int64->double), then the SAME single
+                # IEEE division the expression form computed
+                dots = qa[i : i + tile] @ qb[j : j + tile].T
+                cos = dots.astype(np.float64) / np.outer(
+                    na[i : i + tile], nb[j : j + tile]
+                )
+                mask = (cos >= tau) & (
+                    ida[i : i + tile, None] < idb[None, j : j + tile]
+                )
+                ai, bj = np.nonzero(mask)
+                if len(ai):
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": ida[i + ai],
+                            "vec_b": idb[j + bj],
+                            "cosine": cos[ai, bj],
+                        }
+                    )
+
+    def _score(key, probe_pdf: pd.DataFrame, build_pdf: pd.DataFrame):
+        out = list(_score_cell(probe_pdf, build_pdf))
+        if not out:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        probe.groupBy("cell")
+        .cogroup(build.groupBy("cell"))
+        .applyInPandas(_score, "vec_a long, vec_b long, cosine double")
     )
-    return pairs
 
 
 def semantic_dup_pairs(
