@@ -492,8 +492,31 @@ def embedding_dup_pairs(
     probe = g.select(
         "vec_id", "q", "nrm", F.explode(probe_cells).alias("cell")
     )
+    return _cogroup_cosine_pairs(probe, build, "cell", threshold)
+
+
+def _cogroup_cosine_pairs(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    threshold: float,
+    tile: int = 2048,
+) -> DataFrame:
+    """Exact-cosine pair scoring for cell-blocked candidate generation
+    (grid banding above, SemDeDup kmeans cells below): cogroup the two
+    sides on the blocking key and score each cell with tiled exact-int64
+    numpy matmuls. Each cell's vectors cross the Arrow boundary ONCE (not
+    once per candidate pair) — 29x over the interpreted zip_with/aggregate
+    expression form on the 10x hot-cell soak (BENCH/BASELINE.md) — and
+    `tile` bounds any task's materialized score matrix (~32 MB of doubles
+    at 2048). Emits (vec_a, vec_b, cosine) with vec_a < vec_b and
+    cosine >= threshold; scores are bit-identical to the expression form
+    (same integer sums, same single IEEE division).
+
+    probe columns: (vec_id, q, nrm, <key>); build columns must be
+    pre-aliased (b_vec_id, b_q, b_nrm, <key>) — a self-cogroup with shared
+    attribute ids fails analysis as ambiguous."""
     tau = float(threshold)
-    tile = 2048  # bounds any task's score matrix at ~32 MB of doubles
 
     def _score_cell(probe_pdf: pd.DataFrame, build_pdf: pd.DataFrame):
         if probe_pdf.empty or build_pdf.empty:
@@ -526,15 +549,15 @@ def embedding_dup_pairs(
                         }
                     )
 
-    def _score(key, probe_pdf: pd.DataFrame, build_pdf: pd.DataFrame):
+    def _score(k, probe_pdf: pd.DataFrame, build_pdf: pd.DataFrame):
         out = list(_score_cell(probe_pdf, build_pdf))
         if not out:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         return pd.concat(out, ignore_index=True)
 
     return (
-        probe.groupBy("cell")
-        .cogroup(build.groupBy("cell"))
+        probe.groupBy(key)
+        .cogroup(build.groupBy(key))
         .applyInPandas(_score, "vec_a long, vec_b long, cosine double")
     )
 
@@ -590,22 +613,18 @@ def semantic_dup_pairs(
         F.explode(_cells(F.col("embedding"))).alias("cluster"),
         quantized(F.col("embedding")).alias("q"),
     ).withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
-    score = (
-        int_dot(F.col("a.q"), F.col("b.q")).cast("double")
-        / (F.col("a.nrm") * F.col("b.nrm"))
+    build = q.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("q").alias("b_q"),
+        F.col("nrm").alias("b_nrm"),
+        "cluster",
     )
     return (
-        q.alias("a")
-        .join(q.alias("b"), "cluster")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            score.alias("cosine"),
-        )
+        # per-cell Arrow block-matmul scoring (shared with the grid-banded
+        # baseline above — identical doubles on any pair both emit)
+        _cogroup_cosine_pairs(q, build, "cluster", threshold)
         # a pair sharing several probed cells scores identically each time
         .dropDuplicates(["vec_a", "vec_b"])
-        .filter(F.col("cosine") >= threshold)
     )
 
 
