@@ -95,21 +95,50 @@ def ngram_jaccard_pairs(
     then |A∩B| / (|A|+|B|-|A∩B|) on exact integer shingle counts.
     """
     sh = shingles(docs, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = (
+    # lazy checkpoint: `sizes` feeds both the doc_a and doc_b joins below and
+    # would otherwise be aggregated twice from the shingle cache
+    sizes = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
+    # Posting-list pair generation: ONE shuffle of (shingle -> sorted doc-id
+    # list), then the pair fan-out happens map-side as a JVM array expression.
+    # The df cap bounds every list at max_df ids, so no row ever exceeds
+    # max_df longs and the fan-out is <= max_df^2/2 per shingle — the earlier
+    # form (df-filter semi-join + shingle self-join) shuffled the postings
+    # twice more and paid a string-keyed join build for the same pair set
+    # (r6: candidate stage 1.74s -> 0.6s at sf0.1).
+    spark = docs.sparkSession
+    posting = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") <= max_df) & (F.size("ids") >= 2))
+        .select(F.array_sort("ids").alias("ids"))
+        # fan the (tiny, df-capped) posting table across the cluster BEFORE
+        # the <= max_df^2/2-per-row pair explosion: AQE rightly coalesces the
+        # small posting shuffle to a few partitions, but the explode then
+        # inflates ~50x on those few cores — repartitioning n rows of
+        # <= max_df ids costs ~nothing and parallelizes the fan-out (guide
+        # §2.5: repartition before the exploding operation)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # ids are distinct per shingle (shingles() is per-doc distinct) and
+    # sorted ascending, so emitting (ids[i], ids[j]) for i<j reproduces the
+    # join's a.doc_id < b.doc_id pairs exactly once each
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
     candidates = (
-        sh.join(rare, "shingle", "left_semi")
-        .alias("a")
-        .join(sh.join(rare, "shingle", "left_semi").alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     out = (
@@ -177,7 +206,12 @@ def minhash_lsh_pairs(
     silently dropped true pairs that share only high-frequency shingles.)
     """
     r = k // bands
-    sig = minhash_signatures(docs, k, n)
+    # Lazy localCheckpoint: the banded self-join + the two cand_docs branches
+    # would otherwise each re-run the whole shingle->md5->16-way-min pipeline
+    # (the r6 plan audit counted FOUR evaluations of the signature aggregation
+    # in one query). Materializing (doc_id, k longs) is strictly smaller than
+    # one re-pass over the shingles at any scale.
+    sig = minhash_signatures(docs, k, n).localCheckpoint(eager=False)
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -197,6 +231,9 @@ def minhash_lsh_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # tiny (LSH collisions only); checkpointed so the cand_docs union and
+        # the two verification joins below don't re-run the band self-join
+        .localCheckpoint(eager=False)
     )
     sh = shingles(docs, n)
     cand_docs = (
@@ -208,10 +245,14 @@ def minhash_lsh_pairs(
     # LSH-banded into a shared bucket), but a pathologically duplicate-heavy
     # corpus makes it O(docs) — so no explicit broadcast hint: AQE broadcasts
     # the semi-join side when it fits and shuffles when it doesn't.
+    # `sets` is consumed twice (once per pair side); the lazy checkpoint keeps
+    # the semi-join + collect_set pass single-evaluation — it is bounded by
+    # the candidate docs' shingle sets, never the corpus.
     sets = (
         sh.join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("ss"))
+        .localCheckpoint(eager=False)
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
@@ -282,8 +323,18 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     Candidates via banding the 64-bit hash into 4 x 16-bit chunks (two hashes
     within Hamming<=3 must agree on at least one chunk) — equi-join on chunk,
     then exact popcount filter. No cross join at any scale.
+
+    The (doc_id, simhash) projection is localCheckpointed (lazy) before the
+    chunk fan-out: without it the self-join's plan evaluates the simhash64
+    Arrow UDF once per join side AND once more per side for the chunk
+    derivation — four full corpus passes through the Python worker for one
+    logical hash pass (measured in the r6 plan audit). The materialized frame
+    is 16 bytes/doc, far smaller than re-decoding `text`, so this holds at
+    any scale.
     """
-    sh = docs.select("doc_id", simhash64("text").alias("sh"))
+    sh = docs.select("doc_id", simhash64("text").alias("sh")).localCheckpoint(
+        eager=False
+    )
     chunks = sh.select(
         "doc_id",
         "sh",
