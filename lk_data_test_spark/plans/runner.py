@@ -78,6 +78,22 @@ class ValidationRunner:
         from ..operators.token_bounds import DEFAULTS as TB_DEFAULTS
         from .shared import SharedTokenStats
 
+        # Local parquet layout -> feed the shared pass from pyarrow directly
+        # (plans/shared.py::_build_partials_direct): the token buffers never
+        # round-trip through JVM rows. The corrupt-tolerant read path keeps
+        # the Spark scan (ignoreCorruptFiles semantics live there).
+        direct_files: list[tuple[int, str]] | None = None
+        if not getattr(self.table, "tolerate_corrupt", False):
+            try:
+                direct_files = [
+                    (int(pid), os.path.join(
+                        self.table.path, f"part_id={pid}", f
+                    ))
+                    for pid in pending
+                    for f in self.table.partition_info(pid).files
+                ] or None
+            except OSError:
+                direct_files = None
         shared = SharedTokenStats.from_profiles(
             df,
             self.reference_profiles,
@@ -85,6 +101,7 @@ class ValidationRunner:
             vocab_hi=int(
                 self.params.get("vocab_size", TB_DEFAULTS["vocab_size"])
             ),
+            direct_files=direct_files,
         ).persist()
         ctx = RuleContext(
             spark=self.spark,
@@ -94,6 +111,17 @@ class ValidationRunner:
             params=self.params,
             shared=shared,
         )
+        # Materialize the shared pass ONCE before the rule threads fan out.
+        # Left to the threads, the three shared-consuming rules all submit
+        # jobs whose tasks block on the same BlockManager compute locks while
+        # HOLDING task slots — measured ~3s of pure slot starvation on the
+        # 32-part bench corpus. One materializing job keeps every core on
+        # real work; the rules then read cache.
+        self.spark.sparkContext.setJobDescription(
+            "suite: shared token-scan partials"
+        )
+        shared.partials.count()
+        self.spark.sparkContext.setJobDescription(None)
 
         # Rules are independent plans over the same scan: evaluate them
         # CONCURRENTLY (one driver thread each) so their jobs overlap — the

@@ -377,6 +377,42 @@ def test_shared_scan_matches_legacy(ctx_df):
     assert a == b
 
 
+def test_shared_scan_direct_feed_matches_mapinarrow(ctx_df, corpus_dir):
+    """The pyarrow-direct feed (r6: workers decode their parquet file
+    themselves, skipping the JVM row round-trip) must produce partials
+    bit-identical to the mapInArrow feed — every kind, over a corpus that
+    includes null n_tok, len-mismatch, OOV tokens and unknown sources."""
+    import os
+
+    from lk_data_test_spark.plans.shared import SharedTokenStats
+    from lk_data_test_spark.sources.catalog import PartitionedTable
+
+    ctx, df = ctx_df
+    table = PartitionedTable(os.path.join(corpus_dir, "sequences"))
+    files = [
+        (pid, os.path.join(table.path, f"part_id={pid}", f))
+        for pid in table.partition_ids()
+        for f in table.partition_info(pid).files
+    ]
+    kwargs = dict(vocab_lo=0, vocab_hi=32768)
+    via_spark = SharedTokenStats.from_profiles(
+        df, ctx.reference_profiles, **kwargs
+    )
+    via_pyarrow = SharedTokenStats.from_profiles(
+        df, ctx.reference_profiles, direct_files=files, **kwargs
+    )
+
+    def snap(st):
+        return {
+            (r["part_id"], r["source"], r["kind"], r["key"]): r["cnt"]
+            for r in st.partials.collect()
+        }
+
+    a, b = snap(via_spark), snap(via_pyarrow)
+    assert a == b
+    assert len(a) > 0
+
+
 def test_shared_scan_noncontiguous_vocab(spark):
     """Token counting against a non-contiguous reference vocab: tokens not in
     the vocab are excluded; counts are exact (exercises the sorted-membership
