@@ -43,11 +43,19 @@ def _enabled() -> bool:
 
 
 def cache_dir() -> str:
-    d = os.environ.get(
-        "LK_ANN_CACHE_DIR",
-        os.path.join(tempfile.gettempdir(), "lk_ann_cache"),
-    )
-    os.makedirs(d, exist_ok=True)
+    # user-scoped default (XDG cache), created 0700: a world-writable tmp
+    # default would let another local user pre-plant .npz artifacts that
+    # poison training results (r5 ADVICE; data-only risk — np.load runs
+    # with allow_pickle off — but still not ours to serve)
+    d = os.environ.get("LK_ANN_CACHE_DIR")
+    if d is None:
+        base = os.environ.get(
+            "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+        )
+        if base.startswith("~"):  # $HOME unset/unexpandable -> tmp fallback
+            base = tempfile.gettempdir()
+        d = os.path.join(base, "lk_ann_cache")
+    os.makedirs(d, mode=0o700, exist_ok=True)
     return d
 
 

@@ -486,7 +486,9 @@ def embedding_dup_pairs(
     matrix is exact int64 numpy (identical bits to the zip_with/aggregate
     expression it replaces — same integer sums, same IEEE double
     division), and the matmul is tiled so no task materializes more than
-    ~2k x 2k scores at a time. Cost per cell is still |probe| x |build|
+    ~2k x 2k SCORES at a time (the cell's input vectors are still held
+    whole per task — `_cogroup_cosine_pairs.max_cell_rows` bounds that and
+    fails loudly past it). Cost per cell is still |probe| x |build|
     multiplies — inherent to an EXACT scorer — but at vectorized-matmul
     speed instead of interpreted per-pair expression trees (measured 29x
     on the 10x hot-cell soak, BENCH/BASELINE.md round-5 addendum). No
@@ -507,15 +509,33 @@ def embedding_dup_pairs(
 
     delta = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
     w = delta * (1.0 + 1e-9)  # guard the |diff| == delta boundary
-    q = embeddings.select(
-        "vec_id", quantized(F.col("embedding")).alias("q")
-    ).withColumn("nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double")))
+    q = (
+        embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
+        .withColumn(
+            "nrm", F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double"))
+        )
+        # zero vectors have no direction: cosine is undefined (NaN) against
+        # every row, so they can never clear the threshold — dropping them
+        # up front also keeps every cell component non-null, so the
+        # k-component cell-key structure (and the 3^k coverage proof) holds
+        # for every remaining row (r5 ADVICE: concat_ws silently drops null
+        # components, collapsing distinct cells)
+        .filter(F.col("nrm") > 0)
+    )
     cells = [
         F.floor(F.element_at("q", i + 1).cast("double") / F.col("nrm") / F.lit(w))
         .cast("int")
         .alias(f"c{i}")
         for i in range(band_dims)
     ]
+
+    def _comp(col):
+        # a null component (band dim beyond the embedding dim) becomes a
+        # pinned sentinel so the cell key always has exactly band_dims
+        # components — concat_ws would otherwise DROP nulls and let
+        # distinct cells collide (r5 ADVICE)
+        return F.coalesce(col.cast("string"), F.lit("_"))
+
     g = q.select("vec_id", "q", "nrm", *cells)
     # fresh aliases on the build side: probe and build share lineage (one
     # projection of the same scan), and a self-cogroup with identical
@@ -525,7 +545,7 @@ def embedding_dup_pairs(
         F.col("q").alias("b_q"),
         F.col("nrm").alias("b_nrm"),
         F.concat_ws(
-            ":", *[F.col(f"c{i}") for i in range(band_dims)]
+            ":", *[_comp(F.col(f"c{i}")) for i in range(band_dims)]
         ).alias("cell"),
     )
     probe_cells = F.array(
@@ -533,7 +553,7 @@ def embedding_dup_pairs(
             F.concat_ws(
                 ":",
                 *[
-                    (F.col(f"c{i}") + F.lit(off[i])).cast("string")
+                    _comp(F.col(f"c{i}") + F.lit(off[i]))
                     for i in range(band_dims)
                 ],
             )
@@ -552,6 +572,7 @@ def _cogroup_cosine_pairs(
     key: str,
     threshold: float,
     tile: int = 2048,
+    max_cell_rows: int = 500_000,
 ) -> DataFrame:
     """Exact-cosine pair scoring for cell-blocked candidate generation
     (grid banding above, SemDeDup kmeans cells below): cogroup the two
@@ -566,12 +587,32 @@ def _cogroup_cosine_pairs(
 
     probe columns: (vec_id, q, nrm, <key>); build columns must be
     pre-aliased (b_vec_id, b_q, b_nrm, <key>) — a self-cogroup with shared
-    attribute ids fails analysis as ambiguous."""
+    attribute ids fails analysis as ambiguous.
+
+    Memory shape: `tile` bounds the SCORE matrix, but each cell's input
+    vectors are materialized whole in the scoring task (np.stack of the
+    group), so a cell holding most of the corpus would concentrate that
+    memory on one executor. ``max_cell_rows`` turns that pathology into a
+    clean, actionable error instead of a silent OOM/quadratic job: exact
+    all-pairs scoring inside a cell is inherently |probe| x |build|, and a
+    corpus whose cells exceed the bound should use the data-adaptive paths
+    (semantic_dup_pairs kmeans cells with more clusters, or the LSH
+    ladder) rather than a bigger machine."""
     tau = float(threshold)
+    cap = int(max_cell_rows)
 
     def _score_cell(probe_pdf: pd.DataFrame, build_pdf: pd.DataFrame):
         if probe_pdf.empty or build_pdf.empty:
             return
+        if len(probe_pdf) > cap or len(build_pdf) > cap:
+            raise RuntimeError(
+                f"exact pair-scoring cell exceeds max_cell_rows={cap} "
+                f"(probe={len(probe_pdf)}, build={len(build_pdf)}): this "
+                "corpus concentrates too many vectors in one cell for the "
+                "EXACT scorer — raise the bound explicitly, raise the "
+                "threshold/cluster count, or use the approximate ladder "
+                "(semantic_dup_pairs / LSH) for candidate generation"
+            )
         ida = probe_pdf["vec_id"].to_numpy()
         idb = build_pdf["b_vec_id"].to_numpy()
         qa = np.stack(probe_pdf["q"].to_numpy()).astype(np.int64)

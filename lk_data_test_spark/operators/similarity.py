@@ -16,6 +16,12 @@ from pyspark.sql import functions as F
 
 from ..functions.arrays import int_dot, quantized
 
+# Single source of truth for the coarse-quantizer seed: kmeans_fit,
+# ivf_centroids and every derived-units cache key (ivfpq_topk) must agree,
+# or a drifted default would silently serve stale cached codebooks
+# (r5 ADVICE).
+KMEANS_DEFAULT_SEED = 11
+
 
 def _quantized_with_norm(embeddings: DataFrame) -> DataFrame:
     q = embeddings.select("vec_id", quantized(F.col("embedding")).alias("q"))
@@ -60,7 +66,9 @@ def lsh_hyperplanes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 11) -> np.ndarray:
+def ivf_centroids(
+    dim: int, n_centroids: int = 8, seed: int = KMEANS_DEFAULT_SEED
+) -> np.ndarray:
     """Deterministic coarse quantizer (unit-norm random centroids). A trained
     k-means quantizer drops in here unchanged — assignment/probe plans below
     only see literal arrays."""
@@ -139,7 +147,7 @@ def kmeans_fit(
     n_clusters: int = 8,
     n_iter: int = 4,
     dim: int = 64,
-    seed: int = 11,
+    seed: int = KMEANS_DEFAULT_SEED,
     sample_cap: int | None = None,
 ) -> tuple[np.ndarray, list[float]]:
     """Distributed spherical k-means (Lloyd's) — the trainer for the IVF
@@ -256,7 +264,7 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     dim: int = 64,
-    seed: int = 11,
+    seed: int = KMEANS_DEFAULT_SEED,
     cents: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest coarse
@@ -925,7 +933,7 @@ def ivfpq_topk(
             units=residuals,
             units_key={
                 "residuals": {"n_lists": n_lists, "coarse_iter": coarse_iter,
-                              "kmeans_seed": 11}
+                              "kmeans_seed": KMEANS_DEFAULT_SEED}
             },
         )
         table = pq_encode(embeddings, books, units=residuals)

@@ -235,6 +235,12 @@ def _build_partials_direct(
             paths = b.column(1).to_pylist()
             for pid, path in zip(pids, paths):
                 pf = pq.ParquetFile(path)
+                # 16k-row batches, measured optimum (r6 interleaved A/B):
+                # larger ~64MB batches emit 6x fewer partial rows but push
+                # the flat-token temporary past glibc's 32MB mmap threshold
+                # (the first-touch page-fault cost the module docstring
+                # documents) and lose decode/kernel pipelining — net ~10%
+                # slower.
                 for rb in pf.iter_batches(
                     batch_size=16384,
                     columns=["source", "n_tok", "tokens"],
