@@ -255,12 +255,17 @@ def generate(spark: SparkSession, out_dir: str, cfg: GenConfig = GenConfig()) ->
         .partitionBy("part_id")
         .parquet(os.path.join(out_dir, "sequences"))
     )
-    allowed_sources_df(spark).coalesce(1).write.mode("overwrite").parquet(
+    # repartition(1), NOT coalesce(1): a local-relation createDataFrame
+    # parallelizes into defaultParallelism Python partitions, and coalesce
+    # makes ONE task iterate them all serially through the Python-worker
+    # path (~6s per 20-row dimension, measured r6); repartition evaluates
+    # them in parallel and shuffles the handful of rows.
+    allowed_sources_df(spark).repartition(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "allowed_sources")
     )
-    reference_profiles_df(spark, cfg).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "reference_profiles")
-    )
+    reference_profiles_df(spark, cfg).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "reference_profiles"))
 
 
 def expected_failing_parts(cfg: GenConfig) -> dict[str, set[int]]:

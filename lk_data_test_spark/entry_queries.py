@@ -3355,7 +3355,10 @@ def incremental_delta_verdicts(spark, sf_dir):
                 extra,
                 "doc_id string, tokens array<int>, n_tok int, source string",
             )
-            .coalesce(1)
+            # repartition, not coalesce: coalesce(1) over a parallelized
+            # local relation walks every Python source partition serially in
+            # one task (~6s, r6 measurement in datagen.generate)
+            .repartition(1)
             .write.mode("append")
             .parquet(f"{work}/sequences/part_id=0")
         )

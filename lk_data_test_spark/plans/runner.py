@@ -235,7 +235,10 @@ class ValidationRunner:
                     "part_id int, rule_id string, passed boolean, metric double,"
                     " threshold double, detail string",
                 )
-                .coalesce(1)
+                # repartition, not coalesce: coalesce(1) over a parallelized
+                # local relation walks every Python source partition serially
+                # in one task (~6s; r6 measurement in datagen.generate)
+                .repartition(1)
                 .sortWithinPartitions("part_id", "rule_id")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
