@@ -111,17 +111,6 @@ class ValidationRunner:
             params=self.params,
             shared=shared,
         )
-        # Materialize the shared pass ONCE before the rule threads fan out.
-        # Left to the threads, the three shared-consuming rules all submit
-        # jobs whose tasks block on the same BlockManager compute locks while
-        # HOLDING task slots — measured ~3s of pure slot starvation on the
-        # 32-part bench corpus. One materializing job keeps every core on
-        # real work; the rules then read cache.
-        self.spark.sparkContext.setJobDescription(
-            "suite: shared token-scan partials"
-        )
-        shared.partials.count()
-        self.spark.sparkContext.setJobDescription(None)
 
         # Rules are independent plans over the same scan: evaluate them
         # CONCURRENTLY (one driver thread each) so their jobs overlap — the
@@ -172,8 +161,38 @@ class ValidationRunner:
             rule_secs[rule.rule_id] = round(_time.time() - t0, 3)
             return rows, viol, res.stats
 
-        with ThreadPoolExecutor(max_workers=max(1, len(self.rules))) as ex:
-            results = list(ex.map(eval_rule, self.rules))
+        # Two-phase schedule around the ONE shared materialization:
+        # phase 1 overlaps the shared token pass with everything that does
+        # not consume it (rows_validated count + the narrow-scan rules);
+        # phase 2 releases the shared-consuming rules once the partials are
+        # cached. Letting all rules race instead makes the shared consumers
+        # block on the same BlockManager compute locks while HOLDING task
+        # slots (~3s of slot starvation measured on the 32-part bench
+        # corpus); materializing strictly BEFORE any rule serializes the
+        # independent rules behind a pass they do not need.
+        shared_consumers = {"column_stats", "token_bounds", "drift"}
+        phase1 = [r for r in self.rules if r.rule_id not in shared_consumers]
+        phase2 = [r for r in self.rules if r.rule_id in shared_consumers]
+
+        def materialize_shared():
+            self.spark.sparkContext.setJobDescription(
+                "suite: shared token-scan partials"
+            )
+            shared.partials.count()
+            self.spark.sparkContext.setJobDescription(None)
+
+        with ThreadPoolExecutor(
+            max_workers=max(1, len(self.rules)) + 2
+        ) as ex:
+            shared_f = ex.submit(materialize_shared)
+            count_f = ex.submit(df.count)
+            phase1_fs = {r.rule_id: ex.submit(eval_rule, r) for r in phase1}
+            shared_f.result()
+            phase2_fs = {r.rule_id: ex.submit(eval_rule, r) for r in phase2}
+            all_fs = {**phase1_fs, **phase2_fs}
+            # preserve self.rules order for verdict/violation aggregation
+            results = [all_fs[r.rule_id].result() for r in self.rules]
+            rows_validated = count_f.result()
 
         verdict_rows: list[dict] = []
         violation_frames: list[DataFrame] = []
@@ -211,7 +230,6 @@ class ValidationRunner:
                 .orderBy("part_id", "rule_id", "doc_id", "source", "detail")
             )
 
-        rows_validated = df.count()
         if self.output_dir:
             # S5/S6 analogs: verdict table + JSON metrics manifest alongside
             # the violations sink (reference: rdf/*.json report files,
