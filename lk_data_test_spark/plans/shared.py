@@ -235,6 +235,7 @@ def _build_partials_direct(
             paths = b.column(1).to_pylist()
             for pid, path in zip(pids, paths):
                 pf = pq.ParquetFile(path)
+                outs: list = []
                 # 16k-row batches, measured optimum (r6 interleaved A/B):
                 # larger ~64MB batches emit 6x fewer partial rows but push
                 # the flat-token temporary past glibc's 32MB mmap threshold
@@ -260,7 +261,56 @@ def _build_partials_direct(
                         names=["part_id", "source", "n_tok", "tok_sz",
                                "tokens"],
                     )
-                    yield from kernel([asm])
+                    outs.extend(kernel([asm]))
+                if outs:
+                    # merge the per-batch partials IN THE WORKER before they
+                    # cross back to the JVM: one file emits its final
+                    # per-(source, kind, key) counts once (~6x fewer rows
+                    # through the Arrow->row boundary and the partial agg)
+                    yield _reduce_partials(pa, pc, outs)
+
+    def _reduce_partials(pa, pc, outs):
+        t = pa.Table.from_batches(outs).combine_chunks()
+        pid = t.column("part_id").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(t.column("source"))
+        chunk = enc.chunk(0) if hasattr(enc, "chunk") else enc
+        idx = chunk.indices.to_numpy(zero_copy_only=False)
+        n_src = len(chunk.dictionary)
+        codes = (
+            np.where(np.isnan(idx), n_src, idx).astype(np.int64)
+            if idx.dtype.kind == "f"
+            else idx.astype(np.int64)
+        )
+        src_vals = np.empty(n_src + 1, dtype=object)
+        src_vals[:n_src] = chunk.dictionary.to_pylist()
+        src_vals[n_src] = None
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, kind, codes, pid))
+        pid, codes, kind, key, cnt = (
+            a[order] for a in (pid, codes, kind, key, cnt)
+        )
+        new_grp = np.empty(len(pid), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (
+            (pid[1:] != pid[:-1])
+            | (codes[1:] != codes[:-1])
+            | (kind[1:] != kind[:-1])
+            | (key[1:] != key[:-1])
+        )
+        starts = np.nonzero(new_grp)[0]
+        sums = np.add.reduceat(cnt, starts)
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(pid[starts].astype(np.int32), type=pa.int32()),
+                pa.array(src_vals[codes[starts]], type=pa.string()),
+                pa.array(kind[starts].astype(np.int32), type=pa.int32()),
+                pa.array(key[starts].astype(np.int64), type=pa.int64()),
+                pa.array(sums.astype(np.int64), type=pa.int64()),
+            ],
+            names=["part_id", "source", "kind", "key", "cnt"],
+        )
 
     file_df = spark.createDataFrame(
         [(int(p), str(f)) for p, f in files], "part_id int, path string"
