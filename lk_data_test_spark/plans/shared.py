@@ -407,7 +407,7 @@ def _make_batch_gen(
             # the vocab-bound test a single unsigned compare, and keep every
             # chunk temporary 32-bit — one np.minimum + one multiply-add per
             # token instead of five int64 passes (measured 2.1x on the
-            # kernel microbench, /tmp/kern_bench.py shape). Null-source rows
+            # kernel microbench, OPTIMIZATION_r06.md §2a). Null-source rows
             # go to a DISCARD group (ng) instead of a per-element mask.
             fast = (
                 hash_mod is None
