@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.rules import RuleContext, RuleResult, part_skeleton
+from ..plans.rules import RuleContext, RuleResult
 
 RULE_ID = "token_bounds"
 
@@ -76,25 +76,44 @@ def evaluate(df: DataFrame, ctx: RuleContext) -> RuleResult:
             .agg(F.sum("b").alias("oov_rows"))
         )
 
-    verdicts = (
-        part_skeleton(df, ctx)
-        .join(counts, "part_id", "left")
-        .select(
-            F.col("part_id").cast("int"),
-            F.lit(RULE_ID).alias("rule_id"),
-            (F.coalesce(F.col("oov_rows"), F.lit(0)) == 0).alias("passed"),
-            F.coalesce(F.col("oov_rows"), F.lit(0)).cast("double").alias("metric"),
-            F.lit(0.0).alias("threshold"),
-            F.lit(f"vocab=[{lo},{hi})").alias("detail"),
+    # ONE tiny collect (<= n_parts longs even at 10^12 rows) feeds both the
+    # verdict table (rebuilt as a local relation) and the flagged-partition
+    # list — the earlier form scheduled a second job over the shared
+    # partials for the runner's verdict collect.
+    from ..plans.rules import VERDICT_SCHEMA
+
+    oov_by_part = {
+        int(r["part_id"]): int(r["oov_rows"] or 0) for r in counts.collect()
+    }
+    if ctx.part_ids is not None:
+        part_ids = sorted(int(x) for x in ctx.part_ids)
+    else:
+        # shared-path `counts` only carries parts with OOV rows — recover
+        # the clean parts from the (metadata-cheap) distinct partition scan,
+        # exactly as part_skeleton did
+        part_ids = sorted(
+            int(r["part_id"])
+            for r in df.select(F.col("part_id").cast("int"))
+            .distinct()
+            .collect()
         )
+    detail = f"vocab=[{lo},{hi})"
+    verdicts = ctx.spark.createDataFrame(
+        [
+            (
+                pid,
+                RULE_ID,
+                oov_by_part.get(pid, 0) == 0,
+                float(oov_by_part.get(pid, 0)),
+                0.0,
+                detail,
+            )
+            for pid in part_ids
+        ],
+        VERDICT_SCHEMA,
     )
 
-    # tiny collect: one row per partition with at least one OOV row — at
-    # 10^12 rows this is still <= n_parts longs on the driver
-    flagged = sorted(
-        int(r["part_id"])
-        for r in counts.filter(F.col("oov_rows") > 0).collect()
-    )
+    flagged = sorted(pid for pid, n in oov_by_part.items() if n > 0)
     if flagged:
         bad = F.filter(F.col("tokens"), _oov_pred(lo, hi))
         violations = (
